@@ -1,0 +1,52 @@
+"""Test environment: force an 8-device CPU mesh and offline mode.
+
+Must run before jax is imported anywhere.
+"""
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"  # the session default may be a TPU
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8").strip()
+os.environ.setdefault("HF_HUB_OFFLINE", "1")
+os.environ.setdefault("TRANSFORMERS_OFFLINE", "1")
+
+import sys
+import types
+from pathlib import Path
+
+import jax
+import numpy as np
+import pytest
+
+# bit-parity tests need full f32 matmuls everywhere
+jax.config.update("jax_default_matmul_precision", "highest")
+
+REPO_ROOT = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO_ROOT))
+
+REFERENCE_ROOT = Path("/root/reference")
+
+
+def import_reference_vilbert():
+    """Import the reference PyTorch model (read-only) for parity checks.
+
+    Stubs out its unused download deps (boto3/botocore/requests)."""
+    if not REFERENCE_ROOT.exists():
+        pytest.skip("reference repo not available")
+    if str(REFERENCE_ROOT) not in sys.path:
+        sys.path.insert(0, str(REFERENCE_ROOT))
+    for m in ("boto3", "requests", "botocore", "botocore.exceptions"):
+        if m not in sys.modules:
+            mod = types.ModuleType(m)
+            if m == "botocore.exceptions":
+                mod.ClientError = Exception
+            sys.modules[m] = mod
+    import vilbert.vilbert as ref_vilbert  # noqa
+    return ref_vilbert
+
+
+@pytest.fixture(scope="session")
+def rng():
+    return np.random.default_rng(0)

@@ -1,0 +1,152 @@
+"""Activation parity of the JAX model vs the reference PyTorch ViLBERT.
+
+Gate from SURVEY.md §7.1: per-layer/output parity on a fixed batch (<=1e-4).
+The reference implementation is imported read-only from /root/reference and
+driven in eval mode; its randomly-initialized state dict is converted through
+models/torch_io.py into our pytree.
+"""
+import numpy as np
+import pytest
+
+from conftest import import_reference_vilbert
+
+from youtube_vln_tpu.config import tiny_config
+from youtube_vln_tpu.models import init_lily_params, lily_forward, bert_model
+from youtube_vln_tpu.models.torch_io import (
+    state_dict_to_params,
+    params_to_state_dict,
+)
+
+
+def _tiny_ref_config(ref, **overrides):
+    kw = dict(
+        vocab_size=256, hidden_size=32, num_hidden_layers=4,
+        num_attention_heads=4, intermediate_size=64,
+        v_feature_size=64, v_target_size=23, v_hidden_size=48,
+        v_num_hidden_layers=2, v_num_attention_heads=4,
+        v_intermediate_size=48, bi_hidden_size=48, bi_num_attention_heads=4,
+        v_biattention_id=(0, 1), t_biattention_id=(2, 3),
+        max_position_embeddings=64,
+    )
+    kw.update(overrides)
+    return ref.BertConfig(**kw)
+
+
+def _random_batch(rng, n=3, s_t=12, s_v=20, v_feat=64, path_len=4):
+    tokens = rng.integers(1, 256, size=(n, s_t))
+    tokens[:, 0] = 101
+    t_mask = np.ones((n, s_t), np.int64)
+    t_mask[:, 10:] = 0
+    feats = rng.normal(size=(n, s_v, v_feat)).astype(np.float32)
+    locs = rng.random(size=(n, s_v, 12)).astype(np.float32)
+    locs[..., 11] = rng.integers(0, path_len, size=(n, s_v))
+    v_mask = np.ones((n, s_v), np.int64)
+    v_mask[:, 17:] = 0
+    return tokens, t_mask, feats, locs, v_mask
+
+
+@pytest.fixture(scope="module")
+def ref():
+    return import_reference_vilbert()
+
+
+def test_bert_model_parity(ref, rng):
+    import torch
+    torch.manual_seed(0)
+    ref_cfg = _tiny_ref_config(ref)
+    ref_model = ref.BertModel(ref_cfg).eval()
+
+    cfg = tiny_config()
+    import jax
+    params = init_lily_params(jax.random.PRNGKey(0), cfg)
+    params = jax.tree_util.tree_map(np.asarray, params)
+    sd = {k: v for k, v in ref_model.state_dict().items()}
+    params, missing, unexpected = state_dict_to_params(sd, cfg, params)
+    # the BertModel dump has no heads; heads stay at init
+    assert not [k for k in unexpected if "q_dense" not in k], unexpected
+
+    tokens, t_mask, feats, locs, v_mask = _random_batch(rng)
+
+    with torch.no_grad():
+        rt, rv, rpt, rpv, _ = ref_model(
+            torch.from_numpy(tokens), torch.from_numpy(feats),
+            torch.from_numpy(locs),
+            attention_mask=torch.from_numpy(t_mask),
+            image_attention_mask=torch.from_numpy(v_mask),
+        )
+
+    jt, jv, jpt, jpv = bert_model(
+        params, cfg, tokens, feats, locs,
+        attention_mask=t_mask, image_attention_mask=v_mask, train=False)
+
+    np.testing.assert_allclose(np.asarray(jt), rt.numpy(), atol=1e-4, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(jv), rv.numpy(), atol=1e-4, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(jpt), rpt.numpy(), atol=1e-4, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(jpv), rpv.numpy(), atol=1e-4, rtol=1e-4)
+
+
+def test_lily_parity_all_heads(ref, rng):
+    import torch
+    from types import SimpleNamespace
+    import sys
+    sys.path.insert(0, "/root/reference")
+    from lily import Lily  # reference task model
+
+    torch.manual_seed(1)
+    args = SimpleNamespace(model_name="vilbert", ranking=True, traj_judge=True,
+                           masked_vision=True, masked_language=True)
+    ref_cfg = _tiny_ref_config(ref)
+    ref_cfg.args = args
+    ref_model = Lily(ref_cfg).eval()
+
+    cfg = tiny_config(ranking=True, traj_judge=True, masked_vision=True,
+                      masked_language=True)
+    import jax
+    params = init_lily_params(jax.random.PRNGKey(0), cfg)
+    params = jax.tree_util.tree_map(np.asarray, params)
+    params, missing, unexpected = state_dict_to_params(
+        ref_model.state_dict(), cfg, params)
+    assert not missing, missing
+    assert not [k for k in unexpected if "q_dense" not in k], unexpected
+
+    tokens, t_mask, feats, locs, v_mask = _random_batch(rng)
+
+    with torch.no_grad():
+        ref_out = ref_model(
+            torch.from_numpy(tokens), torch.from_numpy(feats),
+            torch.from_numpy(locs),
+            attention_mask=torch.from_numpy(t_mask),
+            image_attention_mask=torch.from_numpy(v_mask),
+        )
+
+    jax_out = lily_forward(params, cfg, tokens, feats, locs,
+                           attention_mask=t_mask,
+                           image_attention_mask=v_mask, train=False)
+
+    assert set(jax_out) == set(ref_out) == {"ranking", "traj", "vision",
+                                            "language"}
+    for k in ref_out:
+        np.testing.assert_allclose(np.asarray(jax_out[k]), ref_out[k].numpy(),
+                                   atol=1e-4, rtol=1e-4, err_msg=k)
+
+
+def test_state_dict_round_trip(ref):
+    """export -> reference load -> re-export must be lossless."""
+    import torch
+    import jax
+    cfg = tiny_config(ranking=True, traj_judge=True, masked_vision=True,
+                      masked_language=True)
+    params = init_lily_params(jax.random.PRNGKey(42), cfg)
+    params = jax.tree_util.tree_map(np.asarray, params)
+    sd = params_to_state_dict(params, cfg)
+
+    params2 = init_lily_params(jax.random.PRNGKey(7), cfg)
+    params2 = jax.tree_util.tree_map(np.asarray, params2)
+    params2, missing, unexpected = state_dict_to_params(sd, cfg, params2)
+    assert not missing and not [k for k in unexpected if "q_dense" not in k]
+
+    flat1 = jax.tree_util.tree_leaves_with_path(params)
+    flat2 = {jax.tree_util.keystr(k): v
+             for k, v in jax.tree_util.tree_leaves_with_path(params2)}
+    for k, v in flat1:
+        np.testing.assert_array_equal(v, flat2[jax.tree_util.keystr(k)])
