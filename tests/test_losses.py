@@ -1,0 +1,163 @@
+"""Golden-value tests: our jax losses vs the reference torch formulas.
+
+The oracle is computed with torch.nn.functional exactly as
+``utils/utils_init.py:108-164`` does (including pad_packed -inf padding,
+KLDiv masking/normalization, CE ignore_index=-1, BCE pos_weight).
+"""
+import numpy as np
+import pytest
+import torch
+import torch.nn.functional as F
+
+from youtube_vln_tpu.training import losses as L
+
+
+def torch_pad_packed(t, mask):
+    mask = mask.bool()
+    out = mask.clone().to(t.dtype)
+    out[mask] = t
+    out[~mask] = -float("inf")
+    return out
+
+
+def test_pad_packed_matches(rng):
+    bs, nc = 4, 7
+    opt = np.ones((bs, nc), bool)
+    opt[2, 5:] = False
+    dense = rng.normal(size=(bs, nc)).astype(np.float32)
+    packed = torch.from_numpy(dense[opt])
+    ref = torch_pad_packed(packed, torch.from_numpy(opt)).numpy()
+    ours = np.asarray(L.pad_packed(dense, opt))
+    np.testing.assert_array_equal(ours, ref)
+
+
+def test_vision_loss(rng):
+    n, s, c = 6, 10, 23
+    pred = rng.normal(size=(n, s, c)).astype(np.float32)
+    target = rng.random((n, s, c)).astype(np.float32)
+    target /= target.sum(-1, keepdims=True)
+    tmask = (rng.random((n, s)) < 0.2).astype(np.float32)
+    row_mask = np.array([1, 1, 1, 1, 0, 0], np.float32)
+
+    # reference: predictions/target flattened over REAL rows only
+    sel = row_mask.astype(bool)
+    p_t = torch.from_numpy(pred[sel]).flatten(0, 1)
+    t_t = torch.from_numpy(target[sel]).flatten(0, 1)
+    m_t = torch.from_numpy(tmask[sel]).flatten()
+    loss = F.kl_div(F.log_softmax(p_t, dim=-1), t_t, reduction="none")
+    loss = loss * m_t.unsqueeze(-1)
+    numel = max(1, int(m_t.sum().item()))
+    ref = (loss.sum() / numel).item()
+
+    ours = float(L.masked_vision_loss(pred, target, tmask, row_mask))
+    assert ours == pytest.approx(ref, rel=1e-5)
+
+
+def test_vision_loss_no_masked_regions():
+    n, s, c = 2, 4, 5
+    pred = np.zeros((n, s, c), np.float32)
+    target = np.full((n, s, c), 1 / c, np.float32)
+    tmask = np.zeros((n, s), np.float32)
+    assert float(L.masked_vision_loss(pred, target, tmask,
+                                      np.ones(n, np.float32))) == 0.0
+
+
+def test_language_loss(rng):
+    n, s, v = 5, 12, 50
+    pred = rng.normal(size=(n, s, v)).astype(np.float32)
+    target = rng.integers(-1, v, size=(n, s))
+    row_mask = np.array([1, 1, 1, 0, 0], np.float32)
+
+    sel = row_mask.astype(bool)
+    ref = F.cross_entropy(
+        torch.from_numpy(pred[sel]).view(-1, v),
+        torch.from_numpy(target[sel]).view(-1),
+        ignore_index=-1).item()
+    ours = float(L.masked_language_loss(pred, target, row_mask))
+    assert ours == pytest.approx(ref, rel=1e-5)
+
+
+def test_ranking_train(rng):
+    bs, nc = 4, 7
+    opt = np.ones((bs, nc), bool)
+    dense = rng.normal(size=(bs, nc)).astype(np.float32)
+    target = np.array([0, 3, -1, 2])
+
+    pred = torch_pad_packed(torch.from_numpy(dense[opt]),
+                            torch.from_numpy(opt))
+    ref_loss = F.cross_entropy(pred, torch.from_numpy(target),
+                               ignore_index=-1).item()
+    ref_correct = torch.sum(
+        torch.argmax(pred, 1) == torch.from_numpy(target)).float().item()
+
+    loss, correct = L.ranking_loss_train(dense, opt, target)
+    assert float(loss) == pytest.approx(ref_loss, rel=1e-4)
+    assert float(correct) == ref_correct
+
+
+def test_ranking_train_with_padding(rng):
+    bs, nc = 3, 5
+    opt = np.ones((bs, nc), bool)
+    opt[1, 3:] = False
+    dense = rng.normal(size=(bs, nc)).astype(np.float32)
+    target = np.array([1, 2, 0])
+    pred = torch_pad_packed(torch.from_numpy(dense[opt]),
+                            torch.from_numpy(opt))
+    ref = F.cross_entropy(pred, torch.from_numpy(target),
+                          ignore_index=-1).item()
+    loss, _ = L.ranking_loss_train(dense, opt, target)
+    assert float(loss) == pytest.approx(ref, rel=1e-5)
+
+
+def test_ranking_eval(rng):
+    bs, nc = 3, 30
+    opt = np.ones((bs, nc), bool)
+    dense = rng.normal(size=(bs, nc)).astype(np.float32)
+    target = (rng.random((bs, nc)) < 0.2).astype(np.float32)
+
+    pred = torch_pad_packed(torch.from_numpy(dense[opt]),
+                            torch.from_numpy(opt))
+    ref_loss = F.binary_cross_entropy_with_logits(
+        pred, torch.from_numpy(target)).item()
+    ref_correct = torch.sum(torch.from_numpy(target).gather(
+        1, torch.argmax(pred, 1).view(-1, 1))).item()
+
+    loss, correct = L.ranking_loss_eval(dense, opt, target)
+    assert float(loss) == pytest.approx(ref_loss, rel=1e-4)
+    assert float(correct) == pytest.approx(ref_correct)
+
+
+@pytest.mark.parametrize("pretrain,ranking,num_neg,nc", [
+    (True, True, 2, 7),    # pretrain joint: first 1+2 positive
+    (False, True, 2, 6),   # finetune joint: all but last 2 positive
+    (True, False, 2, 5),   # traj-only: first positive
+])
+def test_traj_judge(rng, pretrain, ranking, num_neg, nc):
+    bs = 4
+    opt = np.ones((bs, nc), bool)
+    dense = rng.normal(size=(bs, nc)).astype(np.float32)
+
+    target = np.zeros((bs, nc), bool)
+    if not ranking:
+        target[:, 0] = 1
+    elif pretrain:
+        target[:, :1 + num_neg] = 1
+    else:
+        target[:, :-num_neg] = 1
+
+    pred = torch_pad_packed(torch.from_numpy(dense[opt]),
+                            torch.from_numpy(opt))
+    tt = torch.from_numpy(target)
+    pos_weight = torch.tensor([target.shape[1] / target[0].sum() - 1.0])
+    ref_loss = F.binary_cross_entropy_with_logits(
+        pred, tt.float(), pos_weight=pos_weight).item()
+    ref_correct = (torch.sum((pred.sigmoid() > 0.5) == tt).float()
+                   / target.shape[1]).item()
+
+    target_row = L.traj_judge_targets(
+        nc, ranking_or_no_judge_data=ranking, pretrain=pretrain,
+        num_negatives=num_neg)
+    np.testing.assert_array_equal(np.asarray(target_row), target[0])
+    loss, correct = L.traj_judge_loss(dense, opt, np.asarray(target_row))
+    assert float(loss) == pytest.approx(ref_loss, rel=1e-4)
+    assert float(correct) == pytest.approx(ref_correct, rel=1e-5)

@@ -1,0 +1,123 @@
+"""MLM / MVM masking as vectorized host-side ops.
+
+Bit-matched to the reference threshold-ladder scheme:
+  * tokens:  ``randomize_tokens``  (utils/dataset/common.py:213-270)
+      p = U(0,1)*mask; masked where p >= 0.85; of those, replaced by [MASK]
+      (80%), by a random token (p >= 0.97), or kept (p >= 0.985); targets are
+      the original token where masked, -1 elsewhere.  Optional action-word
+      masking (left/forward/right) at ``mask_action_rate``.
+  * regions: ``randomize_regions`` (utils/dataset/common.py:272-300)
+      targets default to uniform 1/C; masked regions (p >= 0.85) get the
+      detector class distribution as target and flag 1; 90% of masked
+      regions' features are zeroed (p >= 0.865).
+
+These run in the host data pipeline (numpy), keeping device steps fully
+static.  A jax.random variant is provided for in-graph masking experiments.
+"""
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple
+
+import numpy as np
+
+MASK_THRESH = 0.85
+RANDOM_THRESH = 0.85 + 0.15 * 0.8    # 0.97
+KEEP_THRESH = 0.85 + 0.15 * 0.9      # 0.985
+ZERO_THRESH = 0.85 + 0.15 * 0.1      # 0.865
+
+# bert-base-uncased ids for left/forward/right (common.py:215-222)
+ACTION_TOKEN_IDS = (2187, 2830, 2157)
+
+
+def randomize_tokens_np(
+    tokens: np.ndarray,
+    mask: np.ndarray,
+    vocab_size: int,
+    mask_token_id: int,
+    rng: np.random.Generator,
+    mask_action_rate: float = 0.0,
+    action_token_ids: Sequence[int] = ACTION_TOKEN_IDS,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Returns (masked_tokens, targets); targets are -1 where unmasked."""
+    tokens = tokens.copy()
+    targets = np.full_like(tokens, -1)
+
+    p = rng.random(tokens.shape) * (mask > 0)
+    random_tokens = rng.integers(0, vocab_size, size=tokens.shape,
+                                 dtype=tokens.dtype)
+
+    if mask_action_rate > 0:
+        xs, ys = np.nonzero(np.isin(tokens, np.asarray(action_token_ids)))
+        if len(xs):
+            # reference uses np.random.choice with replacement
+            # (common.py:248)
+            picks = rng.integers(0, len(xs),
+                                 size=int(mask_action_rate * len(xs)))
+            for mi in picks:
+                targets[xs[mi], ys[mi]] = tokens[xs[mi], ys[mi]]
+                tokens[xs[mi], ys[mi]] = mask_token_id
+                p[xs[mi], ys[mi]] = MASK_THRESH * 0.9  # below ladder
+
+    sel = p >= MASK_THRESH
+    targets[sel] = tokens[sel]
+    tokens[sel] = mask_token_id
+    sel = p >= RANDOM_THRESH
+    tokens[sel] = random_tokens[sel]
+    sel = p >= KEEP_THRESH
+    tokens[sel] = targets[sel]
+    return tokens, targets
+
+
+def randomize_regions_np(
+    features: np.ndarray,
+    probs: np.ndarray,
+    mask: np.ndarray,
+    rng: np.random.Generator,
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Returns (features, targets, targets_mask)."""
+    features = features.copy()
+    n_classes = probs.shape[-1]
+    targets = np.full_like(probs, 1.0 / n_classes)
+    targets_mask = np.zeros_like(mask)
+
+    p = rng.random(mask.shape) * (mask > 0)
+    sel = p >= MASK_THRESH
+    targets[sel] = probs[sel]
+    targets_mask[sel] = 1
+    features[p >= ZERO_THRESH] = 0
+    return features, targets, targets_mask
+
+
+def unmasked_region_targets(probs: np.ndarray, mask: np.ndarray):
+    """Targets when masked_vision is off (all_dataset.py:252-253)."""
+    n_classes = probs.shape[-1]
+    return (np.full_like(probs, 1.0 / n_classes), np.zeros_like(mask))
+
+
+# --------------------------------------------------------------------------- #
+# in-graph variants (jax) — used by fully-fused input pipelines
+# --------------------------------------------------------------------------- #
+def randomize_tokens_jax(key, tokens, mask, vocab_size, mask_token_id):
+    import jax
+    import jax.numpy as jnp
+    k1, k2 = jax.random.split(key)
+    p = jax.random.uniform(k1, tokens.shape) * (mask > 0)
+    random_tokens = jax.random.randint(k2, tokens.shape, 0, vocab_size,
+                                       dtype=tokens.dtype)
+    masked = p >= MASK_THRESH
+    targets = jnp.where(masked, tokens, -1)
+    out = jnp.where(masked, mask_token_id, tokens)
+    out = jnp.where(p >= RANDOM_THRESH, random_tokens, out)
+    out = jnp.where(p >= KEEP_THRESH, targets, out)
+    return out, targets
+
+
+def randomize_regions_jax(key, features, probs, mask):
+    import jax
+    import jax.numpy as jnp
+    n_classes = probs.shape[-1]
+    p = jax.random.uniform(key, mask.shape) * (mask > 0)
+    masked = p >= MASK_THRESH
+    targets = jnp.where(masked[..., None], probs, 1.0 / n_classes)
+    features = jnp.where((p >= ZERO_THRESH)[..., None], 0.0, features)
+    return features, targets, masked.astype(mask.dtype)
