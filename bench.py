@@ -1,0 +1,106 @@
+"""Headline benchmark: pretrain fwd+bwd trajectory throughput per chip.
+
+Metric: trajectories scored per second per chip through the FULL training
+step (forward over all task heads + backward + reference-AdamW update) on
+the flagship Lily/ViLBERT-base model at the reference pretrain geometry
+(batch 8 samples x 7 candidates/sample, 60 instruction tokens, 808 visual
+regions — README.md:103-119, utils/cli.py:146-196).  One trajectory = one
+(instruction, path) candidate row.
+
+vs_baseline: the reference publishes no numbers (BASELINE.md), so the
+baseline is a documented estimate of the PyTorch reference per-GPU
+throughput on its 4x V100 DDP recipe:
+  fwd FLOPs/candidate ~ 155 GF (text 12L/768h @ 60 tok ~ 10 GF; vision
+  6L/1024h @ 808 tok ~ 77 GF; 6 co-attention layers ~ 68 GF), fwd+bwd ~ 3x
+  => ~0.47 TF/traj.  V100 fp32 (no AMP anywhere in the reference) ~ 15.7
+  TF/s peak at a generous 40% MFU => ~13 traj/s/GPU.  BASELINE_TRAJ_S = 13.
+"""
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+import numpy as np
+
+BASELINE_TRAJ_S = 13.0
+
+
+def main():
+    import jax
+
+    from youtube_vln_tpu.config import lily_base_config, RunConfig
+    from youtube_vln_tpu.models import init_lily_params
+    from youtube_vln_tpu.parallel import train_step as ts
+
+    cfg = lily_base_config(ranking=True, traj_judge=True, masked_vision=True,
+                           masked_language=True, compute_dtype="bfloat16",
+                           remat=True)
+    args = RunConfig(ranking=True, traj_judge=True, masked_vision=True,
+                     masked_language=True, pretrain=True,
+                     learning_rate=2e-5, num_epochs=1,
+                     gradient_accumulation_steps=1)
+
+    bs, nc, s_t, s_v = 8, 7, 60, 808
+    rng = np.random.default_rng(0)
+    batch = {
+        "instr_tokens": rng.integers(1, cfg.vocab_size, size=(bs, nc, s_t)),
+        "instr_mask": np.ones((bs, nc, s_t), np.int32),
+        "segment_ids": np.zeros((bs, nc, s_t), np.int32),
+        "instr_targets": np.where(rng.random((bs, nc, s_t)) < 0.15,
+                                  rng.integers(0, cfg.vocab_size,
+                                               (bs, nc, s_t)), -1),
+        "image_features": rng.normal(size=(bs, nc, s_v, 2048)).astype(np.float32),
+        "image_locations": rng.random((bs, nc, s_v, 12)).astype(np.float32),
+        "image_mask": np.ones((bs, nc, s_v), np.int32),
+        "image_targets": np.full((bs, nc, s_v, cfg.v_target_size),
+                                 1.0 / cfg.v_target_size, np.float32),
+        "image_targets_mask": (rng.random((bs, nc, s_v)) < 0.15).astype(np.int32),
+        "opt_mask": np.ones((bs, nc), bool),
+        "ranking_target": np.zeros((bs,), np.int32),
+    }
+    batch["image_locations"][..., 11] = np.repeat(np.arange(8), 101)[None, None, :]
+
+    params = init_lily_params(jax.random.PRNGKey(0), cfg)
+    state, tx, _ = ts.create_train_state(params, args, steps_per_epoch=1000)
+    step = jax.jit(ts.build_train_step(cfg, args, tx), donate_argnums=(0,))
+
+    dbatch = jax.device_put(batch)
+    rng_key = jax.random.PRNGKey(0)
+
+    # Warmup: compile + flush the dispatch queue.  On the axon remote
+    # runtime, block_until_ready does NOT force execution — only value
+    # readback does — so every timing region must end by reading the losses.
+    for i in range(2):
+        state, metrics = step(state, dbatch, jax.random.fold_in(rng_key, 100 + i))
+        float(metrics["loss/train"])
+
+    # Steady state: pipelined dispatch chain, then force every step's loss.
+    n_steps = 10
+    losses = []
+    t0 = time.perf_counter()
+    for i in range(n_steps):
+        state, metrics = step(state, dbatch, jax.random.fold_in(rng_key, i))
+        losses.append(metrics["loss/train"])
+    losses = [float(x) for x in losses]
+    final_loss = losses[-1]
+    dt = (time.perf_counter() - t0) / n_steps
+
+    traj_per_s = bs * nc / dt
+    print(json.dumps({
+        "metric": "pretrain_traj_per_s_per_chip",
+        "value": round(traj_per_s, 2),
+        "unit": "traj/s/chip",
+        "vs_baseline": round(traj_per_s / BASELINE_TRAJ_S, 2),
+        "detail": {
+            "step_ms": round(dt * 1000, 1),
+            "batch": [bs, nc, s_t, s_v],
+            "device": str(jax.devices()[0]),
+            "loss": final_loss,
+        },
+    }))
+
+
+if __name__ == "__main__":
+    main()

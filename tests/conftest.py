@@ -20,6 +20,9 @@ import jax
 import numpy as np
 import pytest
 
+# The axon site-hook pins JAX_PLATFORMS=axon at interpreter start; the env
+# var alone does not stick, the config update does.
+jax.config.update("jax_platforms", "cpu")
 # bit-parity tests need full f32 matmuls everywhere
 jax.config.update("jax_default_matmul_precision", "highest")
 

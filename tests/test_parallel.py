@@ -1,0 +1,155 @@
+"""Multi-device (8 fake CPU devices) sharded train/eval step tests."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from youtube_vln_tpu.config import tiny_config, RunConfig
+from youtube_vln_tpu.models import init_lily_params
+from youtube_vln_tpu.parallel.mesh import (
+    make_mesh, param_shardings, shard_params, batch_sharding)
+from youtube_vln_tpu.parallel import train_step as ts
+
+
+def make_batch(rng, bs, nc, s_t, s_v, cfg, training=True, accum=None):
+    def maybe_accum(shape):
+        return (accum,) + shape if accum else shape
+
+    b = {
+        "instr_tokens": rng.integers(1, cfg.vocab_size,
+                                     size=maybe_accum((bs, nc, s_t))),
+        "instr_mask": np.ones(maybe_accum((bs, nc, s_t)), np.int32),
+        "segment_ids": np.zeros(maybe_accum((bs, nc, s_t)), np.int32),
+        "instr_targets": np.full(maybe_accum((bs, nc, s_t)), -1, np.int32),
+        "image_features": rng.normal(size=maybe_accum(
+            (bs, nc, s_v, cfg.v_feature_size))).astype(np.float32),
+        "image_locations": rng.random(maybe_accum((bs, nc, s_v, 12))).astype(np.float32),
+        "image_mask": np.ones(maybe_accum((bs, nc, s_v)), np.int32),
+        "image_targets": np.full(maybe_accum((bs, nc, s_v, cfg.v_target_size)),
+                                 1.0 / cfg.v_target_size, np.float32),
+        "image_targets_mask": np.zeros(maybe_accum((bs, nc, s_v)), np.int32),
+        "opt_mask": np.ones(maybe_accum((bs, nc)), bool),
+    }
+    b["image_locations"][..., 11] = 0
+    if training:
+        b["ranking_target"] = np.zeros(maybe_accum((bs,)), np.int32)
+    else:
+        t = np.zeros(maybe_accum((bs, nc)), np.float32)
+        t[..., 0] = 1
+        b["ranking_target"] = t
+    return b
+
+
+@pytest.fixture()  # function scope: donated buffers must not leak across tests
+def setup():
+    cfg = tiny_config(ranking=True, traj_judge=True)
+    args = RunConfig(ranking=True, traj_judge=True, pretrain=True,
+                     learning_rate=1e-3, num_epochs=2,
+                     gradient_accumulation_steps=1)
+    params = init_lily_params(jax.random.PRNGKey(0), cfg)
+    return cfg, args, params
+
+
+def test_dp8_train_step(setup, rng):
+    cfg, args, params = setup
+    assert len(jax.devices()) == 8
+    mesh = make_mesh((8, 1))
+    shardings = param_shardings(mesh, params)
+    sharded = shard_params(params, shardings)
+
+    state, tx, _ = ts.create_train_state(sharded, args, steps_per_epoch=10)
+    step = ts.build_train_step(cfg, args, tx)
+
+    batch = make_batch(rng, 16, 3, 8, 10, cfg)
+    bshard = ts.make_batch_shardings(mesh, batch)
+    batch = jax.tree_util.tree_map(jax.device_put, batch, bshard)
+
+    jstep = jax.jit(step, donate_argnums=(0,))
+    state2, metrics = jstep(state, batch, jax.random.PRNGKey(1))
+    assert int(state2.step) == 1
+    assert np.isfinite(float(metrics["loss/train"]))
+
+    # parity vs single-device execution
+    params_single = init_lily_params(jax.random.PRNGKey(0), cfg)
+    state_s, tx2, _ = ts.create_train_state(params_single, args, 10)
+    step_s = ts.build_train_step(cfg, args, tx2)
+    batch_host = jax.tree_util.tree_map(np.asarray, batch)
+    state_s2, metrics_s = jax.jit(step_s)(state_s, batch_host,
+                                          jax.random.PRNGKey(1))
+    np.testing.assert_allclose(float(metrics["loss/train"]),
+                               float(metrics_s["loss/train"]), rtol=1e-4)
+    # updated params match across the two executions
+    l1 = jax.tree_util.tree_leaves(state2.params)
+    l2 = jax.tree_util.tree_leaves(state_s2.params)
+    for a, b in zip(l1, l2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
+
+
+def test_dp4_tp2_train_step(setup, rng):
+    """data x model mesh: Megatron-style sharding annotations compile and
+    match the DP-only result."""
+    cfg, args, params = setup
+    mesh = make_mesh((4, 2))
+    shardings = param_shardings(mesh, params, cfg)
+    sharded = shard_params(params, shardings)
+    # at least one kernel actually sharded over 'model'
+    specs = jax.tree_util.tree_map(lambda s: s.spec, shardings)
+    assert any("model" in str(s) for s in jax.tree_util.tree_leaves(
+        jax.tree_util.tree_map(str, specs)))
+
+    state, tx, _ = ts.create_train_state(sharded, args, steps_per_epoch=10)
+    step = ts.build_train_step(cfg, args, tx)
+    batch = make_batch(rng, 8, 3, 8, 10, cfg)
+    bshard = ts.make_batch_shardings(mesh, batch)
+    batch_d = jax.tree_util.tree_map(jax.device_put, batch, bshard)
+    state2, metrics = jax.jit(step)(state, batch_d, jax.random.PRNGKey(1))
+    assert np.isfinite(float(metrics["loss/train"]))
+
+    # vs unsharded
+    params_single = init_lily_params(jax.random.PRNGKey(0), cfg)
+    state_s, tx2, _ = ts.create_train_state(params_single, args, 10)
+    _, metrics_s = jax.jit(ts.build_train_step(cfg, args, tx2))(
+        state_s, batch, jax.random.PRNGKey(1))
+    np.testing.assert_allclose(float(metrics["loss/train"]),
+                               float(metrics_s["loss/train"]), rtol=1e-4)
+
+
+def test_grad_accumulation_equivalence(setup, rng):
+    """accum=2 over two half-batches == accum=1 over the full batch."""
+    cfg, _, params = setup
+    args1 = RunConfig(ranking=True, traj_judge=True, pretrain=True,
+                      learning_rate=1e-3, gradient_accumulation_steps=1)
+    args2 = RunConfig(ranking=True, traj_judge=True, pretrain=True,
+                      learning_rate=1e-3, gradient_accumulation_steps=2)
+
+    full = make_batch(rng, 8, 3, 8, 10, cfg)
+    micro = jax.tree_util.tree_map(
+        lambda x: x.reshape((2, 4) + x.shape[1:]), full)
+
+    state1, tx1, _ = ts.create_train_state(params, args1, 10)
+    s1, m1 = jax.jit(ts.build_train_step(cfg, args1, tx1))(
+        state1, full, jax.random.PRNGKey(3))
+
+    state2, tx2, _ = ts.create_train_state(params, args2, 10)
+    s2, m2 = jax.jit(ts.build_train_step(cfg, args2, tx2))(
+        state2, micro, jax.random.PRNGKey(3))
+
+    # losses are means over different slices; grads averaged -> params match
+    # up to fp noise.  (Not exactly: mean of microbatch grads == grad of
+    # means only because every loss is a mean with equal weights per
+    # microbatch here.)
+    for a, b in zip(jax.tree_util.tree_leaves(s1.params),
+                    jax.tree_util.tree_leaves(s2.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-3)
+
+
+def test_eval_step(setup, rng):
+    cfg, args, params = setup
+    ev = ts.build_eval_step(cfg, args)
+    batch = make_batch(rng, 4, 3, 8, 10, cfg, training=False)
+    metrics = jax.jit(ev)(params, batch)
+    assert "loss/ranking" in metrics and "correct/ranking" in metrics
+    assert np.isfinite(float(metrics["loss/ranking"]))
+    assert 0 <= float(metrics["correct/ranking"]) <= 4

@@ -1,0 +1,173 @@
+"""The jitted train/eval steps.
+
+One XLA executable per phase: forward + all task losses + backward +
+reference-AdamW update + in-graph metrics.  Equivalents of the reference
+machinery:
+
+  * DDP gradient all-reduce (utils/distributed.py:97-104)  -> GSPMD psum
+    inserted by XLA for replicated params vs data-sharded batch
+  * eager metric all_reduce (utils_init.py:177-183)        -> metrics are
+    global values by construction (computed on the global sharded batch)
+  * gradient accumulation (utils_init.py:230-239)          -> lax.scan over
+    a leading microbatch axis inside the same executable
+  * scheduler.step per optimizer step                      -> schedule
+    indexed by the in-state step counter
+
+Batch layout (produced by data/loader.py), leading dim sharded over "data":
+
+  instr_tokens   [B, nc, S_t] i32     image_features     [B, nc, S_v, 2048]
+  instr_mask     [B, nc, S_t] i32     image_locations    [B, nc, S_v, 12]
+  segment_ids    [B, nc, S_t] i32     image_mask         [B, nc, S_v] i32
+  instr_targets  [B, nc, S_t] i32     image_targets      [B, nc, S_v, C]
+  opt_mask       [B, nc] bool         image_targets_mask [B, nc, S_v] i32
+  ranking_target [B] i32 (train) / [B, nc] f32 multi-hot (eval)
+"""
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from ..config import LilyConfig, RunConfig
+from ..models import lily_forward
+from ..training import losses as losses_lib
+from ..training.optimization import make_optimizer
+
+
+class TrainState(NamedTuple):
+    params: Any
+    opt_state: Any
+    step: jnp.ndarray
+
+
+def create_train_state(params, args: RunConfig, steps_per_epoch: int):
+    tx, schedule = make_optimizer(args, steps_per_epoch)
+    opt_state = tx.init(params)
+    return TrainState(params, opt_state, jnp.zeros((), jnp.int32)), tx, schedule
+
+
+def _flatten_candidates(batch: Dict[str, jnp.ndarray]):
+    """[B, nc, ...] -> [B*nc, ...] for the model inputs."""
+    def flat(x):
+        return x.reshape((-1,) + x.shape[2:])
+    return {k: flat(batch[k]) for k in
+            ("instr_tokens", "instr_mask", "segment_ids", "image_features",
+             "image_locations", "image_mask")}
+
+
+def _task_config(args: RunConfig, training: bool) -> Dict[str, Any]:
+    return dict(ranking=args.ranking, traj_judge=args.traj_judge,
+                masked_vision=args.masked_vision,
+                masked_language=args.masked_language,
+                pretrain=args.pretrain, num_negatives=args.num_negatives,
+                traj_loss_scale=args.traj_loss_scale,
+                not_traj_judge_data=args.not_traj_judge_data,
+                training=training)
+
+
+def loss_fn(params, cfg: LilyConfig, batch, tasks, rng, train: bool):
+    flat = _flatten_candidates(batch)
+    outputs = lily_forward(
+        params, cfg,
+        flat["instr_tokens"], flat["image_features"], flat["image_locations"],
+        token_type_ids=flat["segment_ids"], attention_mask=flat["instr_mask"],
+        image_attention_mask=flat["image_mask"], rng=rng, train=train)
+    loss_batch = dict(opt_mask=batch["opt_mask"],
+                      ranking_target=batch["ranking_target"],
+                      image_targets=_merge01(batch["image_targets"]),
+                      image_targets_mask=_merge01(batch["image_targets_mask"]),
+                      instr_targets=_merge01(batch["instr_targets"]))
+    return losses_lib.compute_task_losses(outputs, loss_batch, tasks)
+
+
+def _merge01(x):
+    return x.reshape((-1,) + x.shape[2:])
+
+
+def build_train_step(cfg: LilyConfig, args: RunConfig, tx):
+    """Returns step(state, batch, rng) -> (state, metrics).
+
+    When args.gradient_accumulation_steps > 1 the batch must carry a leading
+    microbatch axis [A, B/A(local), ...]; gradients are averaged over A
+    before one optimizer update, matching loss/accum + backward-accumulate
+    semantics (utils_init.py:230-239).
+    """
+    tasks = _task_config(args, training=True)
+    accum = args.gradient_accumulation_steps
+    grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+
+    def one_microbatch(params, mb, rng):
+        (loss, metrics), grads = grad_fn(params, cfg, mb, tasks, rng, True)
+        return loss, metrics, grads
+
+    def step(state: TrainState, batch, rng):
+        if accum > 1:
+            def scan_body(carry, mb_rng):
+                mb, r = mb_rng
+                _, metrics, grads = one_microbatch(state.params, mb, r)
+                g_acc, m_acc = carry
+                g_acc = jax.tree_util.tree_map(jnp.add, g_acc, grads)
+                m_acc = jax.tree_util.tree_map(jnp.add, m_acc, metrics)
+                return (g_acc, m_acc), None
+
+            rngs = jax.random.split(rng, accum)
+            zeros_like_tree = lambda t: jax.tree_util.tree_map(
+                jnp.zeros_like, t)
+            mb0 = jax.tree_util.tree_map(lambda x: x[0], batch)
+            _, metrics0, grads0 = one_microbatch(state.params, mb0, rngs[0])
+            rest = jax.tree_util.tree_map(lambda x: x[1:], batch)
+            (grads, metrics), _ = jax.lax.scan(
+                scan_body, (grads0, metrics0),
+                (rest, rngs[1:]))
+            grads = jax.tree_util.tree_map(lambda g: g / accum, grads)
+            metrics = jax.tree_util.tree_map(lambda m: m / accum, metrics)
+        else:
+            _, metrics, grads = one_microbatch(state.params, batch, rng)
+
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = jax.tree_util.tree_map(jnp.add, state.params, updates)
+        return TrainState(params, opt_state, state.step + 1), metrics
+
+    return step
+
+
+def build_eval_step(cfg: LilyConfig, args: RunConfig, training_loss=False):
+    """Returns eval_step(params, batch) -> metrics (loss/correct per task).
+
+    The default training_loss=False matches both test_epoch and val_epoch,
+    which route through get_loss_correct(training=False)
+    (utils_init.py:306-312, 382-410)."""
+    tasks = _task_config(args, training=training_loss)
+
+    def eval_step(params, batch):
+        _, metrics = loss_fn(params, cfg, batch, tasks, None, False)
+        return metrics
+
+    return eval_step
+
+
+def jit_train_step(step_fn, mesh, state_shardings, batch_shardings):
+    return jax.jit(
+        step_fn,
+        in_shardings=(state_shardings, batch_shardings, NamedSharding(mesh, P())),
+        donate_argnums=(0,),
+    )
+
+
+def make_batch_shardings(mesh, batch_template):
+    """Leading dim over 'data'; with accumulation, axis 0 is the microbatch
+    axis and axis 1 is sharded instead."""
+    def spec(x):
+        nd = x.ndim
+        return NamedSharding(mesh, P("data", *([None] * (nd - 1))))
+    return jax.tree_util.tree_map(spec, batch_template)
+
+
+def make_accum_batch_shardings(mesh, batch_template):
+    def spec(x):
+        nd = x.ndim
+        return NamedSharding(mesh, P(None, "data", *([None] * (nd - 2))))
+    return jax.tree_util.tree_map(spec, batch_template)
