@@ -1,0 +1,368 @@
+"""Data layer tests: store, readers, tokenizer, sampling, datasets, loader."""
+import numpy as np
+import pytest
+
+from youtube_vln_tpu.config import RunConfig
+from youtube_vln_tpu.data import fixtures as F
+from youtube_vln_tpu.data import sampling as S
+from youtube_vln_tpu.data.features_reader import (
+    PanoFeaturesReader, YTbFeaturesReader)
+from youtube_vln_tpu.data.loader import Loader, collate, shard_indices
+from youtube_vln_tpu.data.store import Store, get_native
+from youtube_vln_tpu.data.tokenizer import WordPieceTokenizer
+from youtube_vln_tpu.data.datasets import BeamDataset, YTbDataset
+
+
+# --------------------------------------------------------------------------- #
+# store
+# --------------------------------------------------------------------------- #
+def test_store_round_trip(tmp_path):
+    path = tmp_path / "s.vlnstore"
+    F.write_store(path, ["a", "b/0001"], k_boxes=3, seed=1)
+    st = Store(path)
+    assert set(st.keys) == {"a", "b/0001"}
+    rec = st.get("a")
+    assert rec.features.shape == (3, 2048)
+    assert rec.boxes.shape == (3, 4)
+    assert rec.cls_prob.shape == (3, 1601)
+    assert not rec.is_pano
+    with pytest.raises(KeyError):
+        st.get("missing")
+    st.close()
+
+
+def test_store_pano_fields(tmp_path):
+    path = tmp_path / "p.vlnstore"
+    F.write_store(path, ["scan0-vp0"], k_boxes=4, pano=True, seed=2)
+    st = Store(path)
+    rec = st.get("scan0-vp0")
+    assert rec.is_pano
+    assert rec.view_heading.shape == (36,)
+    assert rec.feat_heading.shape == (4,)
+    st.close()
+
+
+def test_native_reader_available_and_consistent(tmp_path):
+    native = get_native()
+    assert native is not None, "libvlnstore.so not built (run make -C native)"
+    path = tmp_path / "n.vlnstore"
+    F.write_store(path, [f"k{i}" for i in range(10)], k_boxes=2, seed=3)
+    st = Store(path)
+    assert st._handle, "native handle not used"
+    rec = st.get("k7")
+    assert rec.features.shape == (2, 2048)
+    st.close()
+
+
+# --------------------------------------------------------------------------- #
+# readers
+# --------------------------------------------------------------------------- #
+def test_region_reader_global_feature(tmp_path):
+    path = tmp_path / "r.vlnstore"
+    F.write_store(path, ["v/0000", "v/0001"], k_boxes=3, seed=4)
+    reader = YTbFeaturesReader(path)
+    feats, locs, probs = reader[("v/0000", "v/0001")]
+    assert feats.shape == (7, 2048)      # 2*3 regions + global
+    assert locs.shape == (7, 11)
+    np.testing.assert_allclose(feats[0], feats[1:].mean(0), rtol=1e-5)
+    np.testing.assert_array_equal(locs[0], [0, 0, 1, 1, 1, 0, 1, 0, 1, 0, 1])
+    np.testing.assert_allclose(probs[0], 1 / 1601)
+    # non-pano orientation cols stay at 1 (reference features_reader.py:110)
+    assert np.all(locs[1:, 5:] == 1.0)
+    reader.close()
+
+
+def test_pano_reader_orientation(tmp_path):
+    path = tmp_path / "p2.vlnstore"
+    F.write_store(path, ["scan0-vpA"], k_boxes=5, pano=True, seed=5)
+    reader = PanoFeaturesReader(path)
+    assert reader.viewpoints == {"scan0": {"vpA"}}
+    heading, next_heading = 0.3, -0.2
+    feats, locs, probs = reader[("scan0-vpA", heading, next_heading)]
+    assert feats.shape == (6, 2048)
+    rec = Store(path).get("scan0-vpA")
+    np.testing.assert_allclose(locs[1:, 5],
+                               np.sin(rec.feat_heading - heading), rtol=1e-5)
+    np.testing.assert_allclose(locs[1:, 9],
+                               np.sin(rec.feat_heading - next_heading),
+                               rtol=1e-5)
+    np.testing.assert_allclose(locs[0, 6], np.cos(-heading), rtol=1e-6)
+    reader.close()
+
+
+# --------------------------------------------------------------------------- #
+# tokenizer
+# --------------------------------------------------------------------------- #
+def test_wordpiece_tokenizer(tmp_path):
+    tok = F.write_fixture_vocab(tmp_path / "vocab.txt")
+    assert tok.vocab["[PAD]"] == 0
+    assert tok.vocab["[CLS]"] == 101
+    assert tok.vocab["[SEP]"] == 102
+    assert tok.vocab["[MASK]"] == 103
+    toks = tok.tokenize("Walk into the KITCHEN.")
+    assert toks == ["walk", "into", "the", "kitchen", "."]
+    # unknown word -> [UNK]
+    assert tok.tokenize("zzzqqq") == ["[UNK]"]
+
+
+def test_wordpiece_subwords():
+    vocab = {"[UNK]": 0, "play": 1, "##ing": 2, "##s": 3}
+    tok = WordPieceTokenizer(vocab)
+    assert tok.tokenize("playing plays play") == \
+        ["play", "##ing", "play", "##s", "play"]
+
+
+# --------------------------------------------------------------------------- #
+# sampling
+# --------------------------------------------------------------------------- #
+def test_shufflers():
+    import random
+    rng = random.Random(0)
+    seq = [0, 1, 2, 3]
+    outs = [s for _, s in zip(range(5), S.shuffle_different(seq, rng))]
+    assert all(o != seq and sorted(o) == seq for o in outs)
+    outs = list(S.shuffle_non_adjacent(seq, rng))
+    for o in outs:
+        diff = [i for i in range(4) if o[i] != seq[i]]
+        assert len(diff) == 2 and abs(diff[0] - diff[1]) > 1
+    outs = [s for _, s in zip(range(4), S.shuffle_two(seq, rng))]
+    for o in outs:
+        assert sorted(o) == seq and sum(a != b for a, b in zip(o, seq)) == 2
+
+
+def test_negative_generation_shapes():
+    import random
+    rng = random.Random(0)
+    frames = {f"v{i}": [{"frame_id": j, "caption": "" if j % 2 else "x",
+                         "merging": [j]} for j in range(8)]
+              for i in range(3)}
+    positive = [("v0", (0,)), ("v0", (1,)), ("v0", (2,)), ("v0", (4,))]
+    states = [True, False, True, True]
+    negs = S.generate_negatives(
+        positive, states, list(frames), frames, {}, 2,
+        S.shuffle_different, "ytb", False, "normal", rng)
+    neg_captions, neg_images, neg_randoms, order_labels = negs
+    assert len(neg_captions) == len(neg_images) == len(neg_randoms) == 2
+    for traj in neg_captions + neg_images + neg_randoms:
+        assert len(traj) == len(positive)
+    assert order_labels["normal_idx"] == [0, 1, 2, 3]
+    # caption negatives keep the multiset of frames (shuffles + refills)
+    for traj in neg_captions:
+        assert sorted(traj) == sorted(positive)
+        assert traj != positive
+
+
+def test_negative_generation_traj_judge():
+    import random
+    rng = random.Random(1)
+    frames = {f"v{i}": [{"frame_id": j,
+                         "caption": "" if j % 2 else "room with bed",
+                         "merging": [j]} for j in range(8)]
+              for i in range(3)}
+    positive = [("v0", (0,)), ("v0", (1,)), ("v0", (2,)), ("v0", (4,))]
+    states = [True, False, True, True]
+    neg_captions, neg_images, neg_randoms, _ = S.generate_negatives(
+        positive, states, list(frames), frames, {}, 2,
+        S.shuffle_different, "ytb", True, "normal", rng)
+    captioned = [p for p, s in zip(positive, states) if s]
+    for traj in neg_captions:
+        # captioned frames keep their relative order
+        kept = [t for t in traj if t in captioned]
+        assert kept == captioned
+        assert traj != positive
+
+
+# --------------------------------------------------------------------------- #
+# YTb dataset end-to-end
+# --------------------------------------------------------------------------- #
+@pytest.fixture(scope="module")
+def ytb_env(tmp_path_factory):
+    root = tmp_path_factory.mktemp("ytb")
+    paths = F.build_ytb_fixture(root)
+    return paths
+
+
+def _ytb_args(**kw):
+    base = dict(
+        pretrain=True, pre_dataset="ytb", ranking=True, masked_vision=True,
+        masked_language=True, max_instruction_length=32, max_path_length=4,
+        max_num_boxes=5, min_path_length=3, min_captioned=2, max_captioned=4,
+        num_negatives=2, shuffler="different", negative_style="normal")
+    base.update(kw)
+    return RunConfig(**base)
+
+
+def test_ytb_dataset_train_sample(ytb_env):
+    from youtube_vln_tpu.data.tokenizer import load_tokenizer
+    tok = load_tokenizer(ytb_env["vocab_path"])
+    reader = YTbFeaturesReader(ytb_env["store_path"])
+    args = _ytb_args(skeleton_path=ytb_env["skeleton_path"])
+    ds = YTbDataset(args=args, caption_path=ytb_env["caption_path"],
+                    tokenizer=tok, features_reader=reader,
+                    masked_vision=True, masked_language=True, training=True,
+                    seed=0)
+    assert len(ds) > 0
+    assert ds.num_candidates() == 7       # 1 + 3*2
+    s = ds[0]
+    S_v = args.max_path_length * args.max_num_boxes
+    assert s["image_features"].shape == (7, S_v, 2048)
+    assert s["image_locations"].shape == (7, S_v, 12)
+    assert s["instr_tokens"].shape == (7, 32)
+    assert s["opt_mask"].all()
+    assert s["ranking_target"].shape == ()
+    # step index in location col 11
+    steps = s["image_locations"][0, :, 11].reshape(4, 5)
+    np.testing.assert_array_equal(steps, np.tile(
+        np.arange(4)[:, None], (1, 5)))
+    # CLS at position 0 of the (unmasked or masked) instruction
+    assert (s["instr_targets"] >= -1).all()
+    reader.close()
+
+
+def test_ytb_dataset_eval_uses_frozen_testset(ytb_env):
+    from youtube_vln_tpu.data.tokenizer import load_tokenizer
+    tok = load_tokenizer(ytb_env["vocab_path"])
+    reader = YTbFeaturesReader(ytb_env["store_path"])
+    args = _ytb_args(skeleton_path=ytb_env["skeleton_path"])
+    ds = YTbDataset(args=args, caption_path=ytb_env["test_caption_path"],
+                    tokenizer=tok, features_reader=reader,
+                    masked_vision=False, masked_language=False,
+                    training=False,
+                    testset_path={"ranking": ytb_env["testset_path"]},
+                    seed=0)
+    s1 = ds[0]
+    s2 = ds[0]
+    assert (s1["ranking_target"] == s2["ranking_target"]).all()
+    assert s1["ranking_target"][0] == 1 and s1["ranking_target"][1:].sum() == 0
+    np.testing.assert_array_equal(s1["image_features"], s2["image_features"])
+    reader.close()
+
+
+# --------------------------------------------------------------------------- #
+# Beam dataset end-to-end
+# --------------------------------------------------------------------------- #
+@pytest.fixture(scope="module")
+def r2r_env(tmp_path_factory):
+    root = tmp_path_factory.mktemp("r2r")
+    return F.build_r2r_fixture(root)
+
+
+def _beam_args(**kw):
+    base = dict(
+        pretrain=False, ranking=True, batch_size=2,
+        max_instruction_length=32, max_path_length=4, max_num_boxes=5,
+        num_negatives=2, num_beams=4, num_beams_train=3)
+    base.update(kw)
+    return RunConfig(**base)
+
+
+def test_beam_dataset_train(r2r_env):
+    from youtube_vln_tpu.data.tokenizer import load_tokenizer
+    tok = load_tokenizer(r2r_env["vocab_path"])
+    reader = PanoFeaturesReader(r2r_env["store_path"])
+    args = _beam_args()
+    ds = BeamDataset(
+        args, f"{r2r_env['data_dir']}/task/R2R_train.json",
+        f"{r2r_env['data_dir']}/beamsearch/beams_train.json",
+        tok, reader, num_beams=args.num_beams_train, num_beams_strict=False,
+        training=True, masked_vision=False, masked_language=False,
+        shuffle_visual_features=False, data_dir=r2r_env["data_dir"], seed=0)
+    assert len(ds) > 0
+    s = ds[0]
+    nc = args.num_beams_train
+    S_v = args.max_path_length * args.max_num_boxes
+    assert s["image_features"].shape == (nc, S_v, 2048)
+    assert s["ranking_target"] in (np.int32(0), np.int32(-1))
+    reader.close()
+
+
+def test_beam_dataset_eval_tiles_to_num_beams(r2r_env):
+    from youtube_vln_tpu.data.tokenizer import load_tokenizer
+    tok = load_tokenizer(r2r_env["vocab_path"])
+    reader = PanoFeaturesReader(r2r_env["store_path"])
+    args = _beam_args()
+    ds = BeamDataset(
+        args, f"{r2r_env['data_dir']}/task/R2R_val_unseen.json",
+        f"{r2r_env['data_dir']}/beamsearch/beams_val_unseen.json",
+        tok, reader, num_beams=args.num_beams, num_beams_strict=False,
+        training=False, masked_vision=False, masked_language=False,
+        shuffle_visual_features=False, data_dir=r2r_env["data_dir"], seed=0)
+    s = ds[0]
+    assert s["ranking_target"].shape == (args.num_beams,)
+    assert s["ranking_target"][0] == 1.0   # beam 0 is the gt path (fixture)
+    assert s["instr_id"].shape == (2,)
+    reader.close()
+
+
+def test_beam_dataset_traj_judge_train(r2r_env):
+    from youtube_vln_tpu.data.tokenizer import load_tokenizer
+    tok = load_tokenizer(r2r_env["vocab_path"])
+    reader = PanoFeaturesReader(r2r_env["store_path"])
+    args = _beam_args(ranking=False, traj_judge=True,
+                      shuffle_visual_features=True)
+    ds = BeamDataset(
+        args, f"{r2r_env['data_dir']}/task/R2R_train.json",
+        f"{r2r_env['data_dir']}/beamsearch/beams_train.json",
+        tok, reader, num_beams=args.num_beams_train, num_beams_strict=False,
+        training=True, masked_vision=False, masked_language=False,
+        shuffle_visual_features=True, data_dir=r2r_env["data_dir"], seed=0)
+    for i in range(3):  # exercise all shuffle types across seeds
+        s = ds[i % len(ds)]
+        assert s["image_features"].shape[0] == 1 + args.num_negatives
+    reader.close()
+
+
+# --------------------------------------------------------------------------- #
+# loader
+# --------------------------------------------------------------------------- #
+def test_shard_indices_exhaustive():
+    idx = [shard_indices(10, shuffle=True, seed=1, epoch=0, num_shards=4,
+                         shard=s) for s in range(4)]
+    allidx = np.concatenate(idx)
+    assert len(allidx) == 12              # padded by wrapping
+    assert set(allidx) == set(range(10))
+    # different epoch -> different order
+    a = shard_indices(10, shuffle=True, seed=1, epoch=0)
+    b = shard_indices(10, shuffle=True, seed=1, epoch=1)
+    assert not np.array_equal(a, b)
+
+
+def test_loader_batches(ytb_env):
+    from youtube_vln_tpu.data.tokenizer import load_tokenizer
+    tok = load_tokenizer(ytb_env["vocab_path"])
+    reader = YTbFeaturesReader(ytb_env["store_path"])
+    args = _ytb_args(skeleton_path=ytb_env["skeleton_path"])
+    ds = YTbDataset(args=args, caption_path=ytb_env["caption_path"],
+                    tokenizer=tok, features_reader=reader,
+                    masked_vision=True, masked_language=True, training=True,
+                    seed=0)
+    loader = Loader(ds, batch_size=2, shuffle=True, seed=1)
+    batches = list(loader)
+    assert len(batches) == len(loader)
+    b = batches[0]
+    assert b["image_features"].shape[:2] == (2, 7)
+    assert b["instr_tokens"].shape == (2, 7, 32)
+    assert b["opt_mask"].shape == (2, 7)
+    reader.close()
+
+
+def test_collate_pads_candidates():
+    s1 = dict(
+        ranking_target=np.zeros(3, np.float32),
+        image_features=np.ones((3, 4, 8), np.float32),
+        image_locations=np.ones((3, 4, 12), np.float32),
+        image_mask=np.ones((3, 4), np.int32),
+        image_targets=np.ones((3, 4, 5), np.float32),
+        image_targets_mask=np.ones((3, 4), np.int32),
+        instr_tokens=np.ones((3, 6), np.int32),
+        instr_mask=np.ones((3, 6), np.int32),
+        instr_targets=np.ones((3, 6), np.int32),
+        segment_ids=np.zeros((3, 6), np.int32),
+        opt_mask=np.ones(3, bool),
+        instr_id=np.zeros(2, np.int64),
+    )
+    batch = collate([s1], nc=5, with_instr_id=True)
+    assert batch["opt_mask"].shape == (1, 5)
+    assert batch["opt_mask"][0].sum() == 3
+    assert batch["image_features"].shape == (1, 5, 4, 8)
+    assert batch["ranking_target"].shape == (1, 5)

@@ -1,0 +1,669 @@
+"""Datasets: YouTube/BnB pretraining and the R2R beam-ranking dataset.
+
+Pure-Python + numpy (no torch); each ``__getitem__`` returns a dict of
+statically-shaped numpy arrays matching the train-step batch layout
+(see parallel/train_step.py).  Equivalence with the reference 16-tuple
+(``utils/dataset/all_dataset.py:275-292``):
+
+    ranking_target     <- tuple[0]    image_targets_mask <- tuple[5]
+    image_features     <- tuple[1]    instr_tokens       <- tuple[6]
+    image_locations    <- tuple[2]    instr_mask         <- tuple[7]
+    image_mask         <- tuple[3]    instr_targets      <- tuple[8]
+    image_targets      <- tuple[4]    segment_ids        <- tuple[10]
+    instr_id           <- tuple[12]   opt_mask           <- tuple[13]
+
+``instr_highlights`` (tuple[9], always empty), ``co_attention_mask``
+(tuple[11], always zeros and unused — BertEncoder never enables
+use_co_attention_mask, vilbert.py:736), ``ordering_target`` (tuple[14]) and
+``order_attended_visual_feature`` (tuple[15]) are inert in the reference
+(SURVEY §6 "dead/vestigial"); we generate ``ordering_target`` for format
+compatibility and omit the other constants from the device batch.
+"""
+from __future__ import annotations
+
+import logging
+import os
+import random as _random
+from pathlib import Path
+from typing import Callable, Dict, List, Optional, Sequence, Tuple, Union
+
+import numpy as np
+
+from . import sampling as S
+from . import instructions as I
+from .nav_graph import get_headings, load_distances, load_nav_graphs
+from ..ops.masking import (
+    randomize_regions_np,
+    randomize_tokens_np,
+    unmasked_region_targets,
+)
+
+logger = logging.getLogger(__name__)
+
+FEAT_DIM = 2048
+LOC_DIM = 12
+PROB_DIM = 1601
+
+
+def load_trajectories(testset_path, dataset_type: str):
+    """Frozen eval testsets (reference common.py:636-639)."""
+    data = I.load_json(testset_path)
+    return {int(k) if dataset_type == "bnb" else k: v
+            for k, v in data.items()}
+
+
+class _PathFeatureAssembler:
+    """Shared [path -> [L*B, ...]] padding logic
+    (reference all_dataset.py:294-345)."""
+
+    def __init__(self, max_path_length: int, max_num_boxes: int):
+        self.max_path_length = max_path_length
+        self.max_num_boxes = max_num_boxes
+
+    def pad_step(self, features, locations, probs, step_idx: int):
+        B = self.max_num_boxes
+        k = min(len(locations), B)
+        f = np.zeros((B, FEAT_DIM), np.float32)
+        f[:k] = features[:k]
+        b = np.zeros((B, LOC_DIM), np.float32)
+        b[:k, :11] = locations[:k, :11]
+        b[:, 11] = step_idx
+        p = np.zeros((B, PROB_DIM), np.float32)
+        p[:k] = probs[:k]
+        m = np.zeros((B,), np.int32)
+        m[:k] = 1
+        return f, b, p, m
+
+    def empty_step(self, step_idx: int):
+        B = self.max_num_boxes
+        b = np.zeros((B, LOC_DIM), np.float32)
+        b[:, 11] = step_idx
+        return (np.zeros((B, FEAT_DIM), np.float32), b,
+                np.zeros((B, PROB_DIM), np.float32),
+                np.zeros((B,), np.int32))
+
+    def stack(self, steps):
+        L = self.max_path_length
+        steps = list(steps)
+        for i in range(len(steps), L):
+            steps.append(self.empty_step(i))
+        f, b, p, m = zip(*steps)
+        return (np.concatenate(f, 0), np.concatenate(b, 0),
+                np.concatenate(p, 0), np.concatenate(m, 0))
+
+
+# --------------------------------------------------------------------------- #
+# pretraining datasets
+# --------------------------------------------------------------------------- #
+class PretrainDataset:
+    """Common machinery for YTb/BnB pretraining
+    (reference BaseDataset, all_dataset.py:60-345)."""
+
+    dataset_type = ""
+
+    def __init__(self, args, caption_path, tokenizer, features_reader,
+                 masked_vision: bool, masked_language: bool,
+                 training: bool = False,
+                 separators: Sequence[str] = (),
+                 testset_path: Optional[Dict[str, str]] = None,
+                 seed: int = 0):
+        self.args = args
+        self.tok = tokenizer
+        self.reader = features_reader
+        self.masked_vision = masked_vision
+        self.masked_language = masked_language
+        self.training = training
+        self.rng = _random.Random(seed)
+        self.np_rng = np.random.default_rng(seed)
+        self.shuffler = S.load_shuffler(args.shuffler)
+        self.traj_judge_only = args.traj_judge and not args.ranking
+        self.assembler = _PathFeatureAssembler(args.max_path_length,
+                                               args.max_num_boxes)
+
+        captions = self.load_captions(caption_path)
+        self.caption_by_key = {self.caption_key(c): c for c in captions}
+        self.gather(captions)
+        if not args.out_listing:
+            self.photos_by_listing = S.drop_small_listings(
+                self.photos_by_listing, args.min_path_length)
+        self.listing_ids = list(self.photos_by_listing.keys())
+        self.build_instruction = self.make_instruction_generator(
+            args.skeleton_path, separators)
+        self.testsets = {
+            key: load_trajectories(path, self.dataset_type)
+            for key, path in (testset_path or {}).items()
+        } if not training else {}
+
+    # hooks ------------------------------------------------------------- #
+    def load_captions(self, path):
+        raise NotImplementedError
+
+    def caption_key(self, caption):
+        raise NotImplementedError
+
+    def gather(self, captions):
+        raise NotImplementedError
+
+    def make_instruction_generator(self, skeleton_path, separators):
+        raise NotImplementedError
+
+    def feature_key(self, listing_id, pid) -> str:
+        raise NotImplementedError
+
+    def pick_photo_ids(self, listing_id):
+        raise NotImplementedError
+
+    def generate_instruction(self, traj) -> List[int]:
+        raise NotImplementedError
+
+    # ------------------------------------------------------------------- #
+    def __len__(self):
+        if self.args.out_listing:
+            return min(len(self.listing_ids),
+                       15000 if self.training else 500)
+        return len(self.listing_ids)
+
+    def num_candidates(self) -> int:
+        n = self.args.num_negatives
+        return 1 + 3 * n if not self.traj_judge_only else 1 + 2 * n
+
+    def _visual_features(self, trajectory):
+        steps = []
+        for i, (listing_id, photo_id) in enumerate(
+                trajectory[: self.args.max_path_length]):
+            if isinstance(photo_id, int):
+                photo_id = (photo_id,)
+            keys = tuple(self.feature_key(listing_id, pid)
+                         for pid in photo_id)
+            feats, locs, probs = self.reader[keys]
+            steps.append(self.assembler.pad_step(feats, locs, probs, i))
+        return self.assembler.stack(steps)
+
+    def __getitem__(self, index: int) -> Dict[str, np.ndarray]:
+        listing_id = self.listing_ids[index]
+        (positive, neg_captions, neg_images, neg_randoms,
+         order_labels) = self.pick_photo_ids(listing_id)
+
+        self.template = None
+        instructions = [self.generate_instruction(positive)]
+        feats = [self._visual_features(positive)]
+
+        if self.traj_judge_only:
+            # same instruction, different (negative) trajectories
+            # (all_dataset.py:189-197)
+            for traj in neg_captions + neg_images + neg_randoms:
+                instructions.append(instructions[0])
+                feats.append(self._visual_features(traj))
+        else:
+            for traj in neg_captions:        # new instruction, same visuals
+                instructions.append(self.generate_instruction(traj))
+                feats.append(feats[0])
+            if self.args.negative_style == "shuffle_instruction":
+                for traj in neg_images:      # also instruction-side
+                    instructions.append(self.generate_instruction(traj))
+                    feats.append(feats[0])
+            else:
+                for traj in neg_images:      # same instruction, new visuals
+                    instructions.append(instructions[0])
+                    feats.append(self._visual_features(traj))
+            for traj in neg_randoms:
+                instructions.append(instructions[0])
+                feats.append(self._visual_features(traj))
+
+        return self._finalize(instructions, feats, positive, order_labels)
+
+    def _finalize(self, instructions, feats, positive, order_labels):
+        nc = len(instructions)
+        image_features = np.stack([f[0] for f in feats]).astype(np.float32)
+        image_locations = np.stack([f[1] for f in feats]).astype(np.float32)
+        image_probs = np.stack([f[2] for f in feats]).astype(np.float32)
+        image_mask = np.stack([f[3] for f in feats]).astype(np.int32)
+        instr_tokens = np.asarray(instructions, np.int32)
+        instr_mask = (instr_tokens > 0).astype(np.int32)
+        segment_ids = np.zeros_like(instr_tokens)
+
+        if self.masked_vision:
+            image_features, image_targets, image_targets_mask = \
+                randomize_regions_np(image_features, image_probs, image_mask,
+                                     self.np_rng)
+        else:
+            image_targets, image_targets_mask = unmasked_region_targets(
+                image_probs, image_mask)
+        if self.masked_language:
+            instr_tokens, instr_targets = randomize_tokens_np(
+                instr_tokens, instr_mask, len(self.tok.vocab),
+                self.tok.vocab["[MASK]"], self.np_rng,
+                self.args.mask_action_rate)
+        else:
+            instr_targets = np.full_like(instr_tokens, -1)
+
+        # inert ordering plumbing kept for format compatibility
+        # (all_dataset.py:159-179; prob_order is hardcoded to 1 so the
+        # identity branch always runs)
+        L = self.args.max_path_length
+        ordering_target = np.asarray(
+            [list(range(len(positive))) + [-1] * (L - len(positive))
+             for _ in order_labels.get("negative_images_idx", [])],
+            np.int32).reshape(-1, L) if order_labels else np.zeros((0, L),
+                                                                   np.int32)
+
+        if self.training:
+            ranking_target = np.int32(0)
+        else:
+            ranking_target = np.zeros((nc,), np.float32)
+            ranking_target[0] = 1
+
+        return dict(
+            ranking_target=ranking_target,
+            image_features=image_features,
+            image_locations=image_locations,
+            image_mask=image_mask,
+            image_targets=image_targets.astype(np.float32),
+            image_targets_mask=image_targets_mask.astype(np.int32),
+            instr_tokens=instr_tokens.astype(np.int32),
+            instr_mask=instr_mask,
+            instr_targets=instr_targets.astype(np.int32),
+            segment_ids=segment_ids,
+            opt_mask=np.ones((nc,), bool),
+            ordering_target=ordering_target,
+            instr_id=np.zeros((2,), np.int64),
+        )
+
+
+class YTbDataset(PretrainDataset):
+    """YouTube house-tour pretraining set
+    (reference all_dataset.py:348-457)."""
+
+    dataset_type = "ytb"
+
+    def load_captions(self, path):
+        return I.load_json(path)
+
+    def caption_key(self, c):
+        return S.ytb_key(c["video_id"], c["frame_id"])
+
+    def gather(self, captions):
+        by_video: Dict[str, List] = {}
+        for c in sorted(captions, key=lambda c: c["video_id"]):
+            by_video.setdefault(c["video_id"], []).append(c)
+        self.photos_by_listing = by_video
+
+    def make_instruction_generator(self, skeleton_path, separators):
+        if not skeleton_path:
+            raise NotImplementedError("YTb requires a template skeleton")
+        return I.YTBRephraseInstructionGenerator(
+            skeleton_path, self.args.random_action, self.tok, separators,
+            self.caption_by_key, self.args.max_instruction_length,
+            rng=self.rng)
+
+    def feature_key(self, listing_id, pid):
+        return S.ytb_key(listing_id, pid)
+
+    def __init__(self, *args, **kwargs):
+        super().__init__(*args, **kwargs)
+        self.key_trajectories = {
+            vid: [f["frame_id"] for f in frames if f["caption"] != ""]
+            for vid, frames in self.photos_by_listing.items()
+        }
+        if self.args.out_listing:
+            raise NotImplementedError
+
+    def pick_photo_ids(self, listing_id):
+        if not self.training:
+            key = "traj" if self.traj_judge_only else "ranking"
+            return self.testsets[key][listing_id]
+        positive, captioned = S.ytb_trajectory(
+            listing_id, self.photos_by_listing,
+            self.key_trajectories[listing_id],
+            self.args.min_path_length, self.args.max_path_length,
+            self.args.min_captioned, self.args.max_captioned, self.rng)
+        if self.args.no_serial:
+            order = list(range(len(positive)))
+            self.rng.shuffle(order)
+            positive = [positive[i] for i in order]
+            captioned = [captioned[i] for i in order]
+        negs = S.generate_negatives(
+            positive, captioned, self.listing_ids, self.photos_by_listing,
+            self.caption_by_key, self.args.num_negatives, self.shuffler,
+            "ytb", self.traj_judge_only, self.args.negative_style, self.rng)
+        return (positive,) + negs
+
+    def generate_instruction(self, traj):
+        sentence, self.template = self.build_instruction(traj, self.template)
+        return sentence
+
+
+class BnBDataset(PretrainDataset):
+    """Airbnb listings pretraining set (reference all_dataset.py:460-561)."""
+
+    dataset_type = "bnb"
+
+    def load_captions(self, path):
+        return I.load_tokens(path, self.tok,
+                             self.args.max_instruction_length)
+
+    def caption_key(self, c):
+        return int(c["photo_id"])
+
+    def gather(self, captions):
+        by_listing: Dict[str, List] = {}
+        for c in sorted(captions, key=lambda c: c["listing_id"]):
+            by_listing.setdefault(str(c["listing_id"]), []).append(c)
+        self.photos_by_listing = {
+            lid: S.merge_images(photos)
+            for lid, photos in by_listing.items()
+        }
+
+    def make_instruction_generator(self, skeleton_path, separators):
+        if not skeleton_path:
+            return I.ConcatenateInstructionGenerator(
+                self.tok, separators, self.caption_by_key,
+                self.args.max_instruction_length, rng=self.rng)
+        return I.RephraseInstructionGenerator(
+            skeleton_path, self.tok, separators, self.caption_by_key,
+            self.args.max_instruction_length, rng=self.rng)
+
+    def feature_key(self, listing_id, pid):
+        return f"{listing_id}-{pid}"
+
+    def pick_photo_ids(self, listing_id):
+        if not self.training:
+            key = "traj" if self.traj_judge_only else "ranking"
+            return self.testsets[key][int(listing_id)]
+        gen = S.bnb_trajectory_out_listing if self.args.out_listing \
+            else S.bnb_trajectory_in_listing
+        if self.args.out_listing:
+            positive, captioned = gen(
+                listing_id, self.listing_ids, self.photos_by_listing,
+                self.caption_by_key, self.args.min_path_length,
+                self.args.max_path_length, self.args.min_captioned,
+                self.args.max_captioned, self.rng)
+        else:
+            positive, captioned = gen(
+                listing_id, self.photos_by_listing, self.caption_by_key,
+                self.args.min_path_length, self.args.max_path_length,
+                self.args.min_captioned, self.args.max_captioned, self.rng)
+        negs = S.generate_negatives(
+            positive, captioned, self.listing_ids, self.photos_by_listing,
+            self.caption_by_key, self.args.num_negatives, self.shuffler,
+            "bnb", self.traj_judge_only, self.args.negative_style, self.rng)
+        neg_captions, neg_images, neg_randoms, order_labels = negs
+        if self.args.out_listing:
+            neg_randoms = []
+        return positive, neg_captions, neg_images, neg_randoms, order_labels
+
+    def generate_instruction(self, traj):
+        return self.build_instruction(traj)
+
+
+# --------------------------------------------------------------------------- #
+# R2R beam dataset
+# --------------------------------------------------------------------------- #
+class BeamDataset:
+    """Beam re-ranking dataset (reference all_dataset.py:563-1105)."""
+
+    def __init__(self, args, vln_path, beam_path, tokenizer, features_reader,
+                 num_beams: int, num_beams_strict: bool, training: bool,
+                 masked_vision: bool, masked_language: bool,
+                 shuffle_visual_features: bool, shuffler: str = "different",
+                 ground_truth_trajectory: bool = False,
+                 data_dir: str = "data", seed: int = 0):
+        self.args = args
+        self.reader = features_reader
+        self.training = training
+        self.masked_vision = masked_vision
+        self.masked_language = masked_language
+        self.shuffle_visual = shuffle_visual_features
+        self.ground_truth_trajectory = ground_truth_trajectory
+        self.batch_size = args.batch_size // args.gradient_accumulation_steps
+        self.traj_judge_only = args.traj_judge and not (
+            args.ranking or args.not_traj_judge_data)
+        self.rng = _random.Random(seed)
+        self.np_rng = np.random.default_rng(seed)
+        self.tok = tokenizer
+        self.assembler = _PathFeatureAssembler(args.max_path_length,
+                                               args.max_num_boxes)
+        if shuffler not in ("different", "nonadj"):
+            raise ValueError(f"Unexpected shuffling mode ({shuffler})")
+        self.shuffler = S.load_shuffler(shuffler)
+
+        self.vln_data = I.load_tokens(vln_path, tokenizer,
+                                      args.max_instruction_length)
+        scan_list = sorted({item["scan"] for item in self.vln_data})
+        self.graphs = load_nav_graphs(scan_list, data_dir)
+        self.distances = load_distances(scan_list, data_dir)
+
+        self.num_beams = num_beams
+        if training:
+            num_beams_strict = False
+        beam_data = I.load_json(beam_path)
+        self.beam_data = []
+        for idx, item in enumerate(beam_data):
+            if len(item["ranked_paths"]) >= num_beams:
+                if num_beams_strict:
+                    item["ranked_paths"] = item["ranked_paths"][:num_beams]
+                self.beam_data.append(item)
+            else:
+                logger.warning("skipping beam index %d from %s", idx,
+                               beam_path)
+        path_to_vln = {item["path_id"]: i
+                       for i, item in enumerate(self.vln_data)}
+        self.beam_to_vln = {}
+        for idx, item in enumerate(self.beam_data):
+            pid = int(item["instr_id"].split("_")[0])
+            if pid not in path_to_vln:
+                logger.warning("Skipping beam %s", item["instr_id"])
+                continue
+            self.beam_to_vln[idx] = path_to_vln[pid]
+
+    def __len__(self):
+        return len(self.beam_data)
+
+    def num_candidates(self) -> int:
+        if self.training:
+            n = self.args.num_beams_train if not self.traj_judge_only else 1
+            if self.shuffle_visual or self.traj_judge_only:
+                n += self.args.num_negatives
+            return n
+        return self.num_beams + (self.args.num_negatives + 1
+                                 if self.shuffle_visual else 0)
+
+    def _success(self, scan_id, gt_path, beam_paths, margin=3.0):
+        d = self.distances[scan_id]
+        return np.array([
+            1.0 if d[gt_path[-1]][bp[-1]] < margin else 0.0
+            for bp in beam_paths])
+
+    def _path_features(self, scan_id, path, first_heading):
+        headings = get_headings(self.graphs[scan_id], path, first_heading)
+        next_headings = headings[1:] + [headings[-1]]
+        steps = []
+        for i, vp in enumerate(path[: self.args.max_path_length]):
+            feats, locs, probs = self.reader[
+                f"{scan_id}-{vp}", headings[i], next_headings[i]]
+            steps.append(self.assembler.pad_step(feats, locs, probs, i))
+        L = self.args.max_path_length
+        for i in range(len(steps), L):
+            steps.append(self.assembler.empty_step(i))
+        return steps
+
+    def _single_feature(self, scan_id, viewpoint, step_idx):
+        heading = self.rng.uniform(-np.pi / 2, np.pi / 2)
+        next_heading = self.rng.uniform(-np.pi / 2, np.pi / 2)
+        feats, locs, probs = self.reader[
+            f"{scan_id}-{viewpoint}", heading, next_heading]
+        return self.assembler.pad_step(feats, locs, probs, step_idx)
+
+    def __getitem__(self, beam_index: int) -> Dict[str, np.ndarray]:
+        vln_index = self.beam_to_vln[beam_index]
+        vln_item = self.vln_data[vln_index]
+        path_id, instruction_index = map(
+            int, self.beam_data[beam_index]["instr_id"].split("_"))
+        scan_id = vln_item["scan"]
+        heading = vln_item["heading"]
+        gt_path = vln_item["path"]
+
+        instr_tokens = np.asarray(
+            vln_item["instruction_tokens"][instruction_index], np.int32)
+
+        beam_paths = [[p for p, _, _ in ranked]
+                      for ranked in self.beam_data[beam_index]["ranked_paths"]]
+        success = self._success(scan_id, gt_path, beam_paths)
+
+        if self.training:
+            target, selected_paths = self._select_training_paths(
+                vln_item, instruction_index, beam_paths, success, vln_index)
+        else:
+            target = np.zeros(len(beam_paths)) if self.traj_judge_only \
+                else success
+            selected_paths = list(beam_paths)
+            if self.shuffle_visual:
+                for i in np.arange(len(success))[success.astype(bool)]:
+                    if i > self.args.num_negatives:
+                        break
+                    selected_paths.append(
+                        next(self.shuffler(selected_paths[int(i)], self.rng)))
+                    target = np.append(target, 0)
+            if self.batch_size != 1 and len(target) != self.num_beams:
+                reps = int(self.num_beams / len(target)) + 1
+                target = np.tile(target, reps)[: self.num_beams]
+                selected_paths = (selected_paths * reps)[: self.num_beams]
+
+        if self.training and self.traj_judge_only:
+            step_lists = self._traj_judge_features(
+                scan_id, heading, selected_paths, vln_index)
+        else:
+            step_lists = [self._path_features(scan_id, p, heading)
+                          for p in selected_paths]
+        feats = [self.assembler.stack(s) for s in step_lists]
+
+        return self._finalize(instr_tokens, feats, target,
+                              np.asarray([path_id, instruction_index],
+                                         np.int64))
+
+    def _select_training_paths(self, vln_item, instruction_index, beam_paths,
+                               success, vln_index):
+        """Reference all_dataset.py:702-748."""
+        target = 0
+        selected_paths = None
+        if "positive" in vln_item and \
+                not vln_item["positive"][instruction_index]:
+            target = -1
+            selected_paths = beam_paths[: self.args.num_beams_train]
+            assert not self.ground_truth_trajectory, "Not compatible"
+        if np.sum(success == 1) == 0 or \
+                np.sum(success == 0) < self.args.num_beams_train - 1:
+            target = -1
+            if self.ground_truth_trajectory:
+                selected_paths = [vln_item["path"]] + \
+                    beam_paths[: self.args.num_beams_train - 1]
+            else:
+                selected_paths = beam_paths[: self.args.num_beams_train]
+        elif selected_paths is None:
+            target = 0
+            selected_paths = []
+            if self.ground_truth_trajectory:
+                selected_paths.append(vln_item["path"])
+            else:
+                idx = self.np_rng.choice(np.where(success == 1)[0])
+                selected_paths.append(beam_paths[int(idx)])
+            if not self.traj_judge_only:
+                idxs = self.np_rng.choice(np.where(success == 0)[0],
+                                          size=self.args.num_beams_train - 1,
+                                          replace=False)
+                for idx in idxs:
+                    selected_paths.append(beam_paths[int(idx)])
+
+        if self.shuffle_visual and not self.traj_judge_only:
+            path = vln_item["path"]
+            for corr, _ in zip(self.shuffler(list(range(len(path))), self.rng),
+                               range(self.args.num_negatives)):
+                selected_paths.append([path[i] for i in corr])
+        return target, selected_paths
+
+    def _traj_judge_features(self, scan_id, heading, selected_paths,
+                             vln_index):
+        """Training negatives for the pure judge task: 3 shuffle types
+        (reference all_dataset.py:790-879)."""
+        pos = selected_paths[0][: self.args.max_path_length]
+        pos_steps = self._path_features(scan_id, pos, heading)
+        step_lists = [pos_steps]
+        path_range = list(range(len(pos)))
+        shuffle_type = self.rng.randint(1, 3)
+
+        if shuffle_type == 1:
+            # recompute features along a shuffled viewpoint order
+            for corr, _ in zip(self.shuffler(path_range, self.rng),
+                               range(self.args.num_negatives)):
+                path = [pos[i] for i in corr]
+                step_lists.append(self._path_features(scan_id, path, heading))
+        elif shuffle_type == 2:
+            # permute the positive path's precomputed per-step features
+            for corr, _ in zip(self.shuffler(path_range, self.rng),
+                               range(self.args.num_negatives)):
+                steps = [pos_steps[i] for i in corr]
+                steps += pos_steps[len(pos):self.args.max_path_length]
+                step_lists.append(steps)
+        else:
+            # splice in viewpoints from a different scan
+            other = self.rng.randint(0, len(self.vln_data) - 1)
+            while other == vln_index:
+                other = self.rng.randint(0, len(self.vln_data) - 1)
+            path2 = self.vln_data[other]["path"]
+            scan2 = self.vln_data[other]["scan"]
+            max_out = 4
+            for _ in range(self.args.num_negatives):
+                min_len = min(len(pos), len(path2))
+                n_out = self.rng.randint(1, min(max_out, min_len))
+                steps = list(pos_steps)
+                for i in self.rng.sample(range(min_len), n_out):
+                    steps[i] = self._single_feature(scan2, path2[i], i)
+                step_lists.append(steps)
+        return step_lists
+
+    def _finalize(self, instr_tokens, feats, target, instr_id):
+        nc = len(feats)
+        image_features = np.stack([f[0] for f in feats]).astype(np.float32)
+        image_locations = np.stack([f[1] for f in feats]).astype(np.float32)
+        image_probs = np.stack([f[2] for f in feats]).astype(np.float32)
+        image_mask = np.stack([f[3] for f in feats]).astype(np.int32)
+        instr_tokens = np.tile(instr_tokens[None, :], (nc, 1))
+        instr_mask = (instr_tokens > 0).astype(np.int32)
+        segment_ids = np.zeros_like(instr_tokens)
+
+        if self.masked_vision:
+            image_features, image_targets, image_targets_mask = \
+                randomize_regions_np(image_features, image_probs, image_mask,
+                                     self.np_rng)
+        else:
+            image_targets, image_targets_mask = unmasked_region_targets(
+                image_probs, image_mask)
+        if self.masked_language:
+            instr_tokens, instr_targets = randomize_tokens_np(
+                instr_tokens, instr_mask, len(self.tok.vocab),
+                self.tok.vocab["[MASK]"], self.np_rng,
+                self.args.mask_action_rate)
+        else:
+            instr_targets = np.full_like(instr_tokens, -1)
+
+        if self.training:
+            ranking_target = np.int32(target)
+        else:
+            ranking_target = np.asarray(target, np.float32)
+
+        return dict(
+            ranking_target=ranking_target,
+            image_features=image_features,
+            image_locations=image_locations,
+            image_mask=image_mask,
+            image_targets=image_targets.astype(np.float32),
+            image_targets_mask=image_targets_mask.astype(np.int32),
+            instr_tokens=instr_tokens.astype(np.int32),
+            instr_mask=instr_mask,
+            instr_targets=instr_targets.astype(np.int32),
+            segment_ids=segment_ids,
+            opt_mask=np.ones((nc,), bool),
+            ordering_target=np.zeros((0, self.args.max_path_length),
+                                     np.int32),
+            instr_id=instr_id,
+        )

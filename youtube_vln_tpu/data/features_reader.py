@@ -1,0 +1,157 @@
+"""Region-feature readers over the VLN store.
+
+Semantics are matched to the reference readers
+(``utils/dataset/features_reader.py``):
+
+  * box normalization to 5-d (x1,y1,x2,y2 in [0,1] + relative area)
+    (reference :86-104)
+  * 11-d location vectors; non-pano readers fill cols 5..10 with ones
+    (reference :107-121 — ``np.ones`` initialization leaves them at 1)
+  * a synthesized "global" region 0: mean-pooled feature, location
+    [0,0,1,1,1,...], uniform 1/1601 class prob (reference :170-178,316-340)
+  * pano reader: query is (key, heading, next_heading); orientation cols are
+    sin/cos of feature heading relative to (next_)heading and elevation
+    (reference :257-341)
+  * key conventions: BnB ``{listing}-{photo}``, YTb ``{video}/{frame:04d}``,
+    Pano ``{scan}-{viewpoint}`` (reference :182-189,289)
+
+Multiple store shards are merged into one key space, mirroring the
+reference's multi-LMDB handling (reference :17-42).
+"""
+from __future__ import annotations
+
+from pathlib import Path
+from typing import Dict, List, Sequence, Set, Tuple, Union
+
+import numpy as np
+
+from .store import Store, StoreRecord, PROB_DIM
+
+PathLike = Union[str, Path]
+
+
+def _normalize_boxes(rec: StoreRecord) -> np.ndarray:
+    """[K,4] pixel boxes -> [K,5] normalized + area."""
+    b = rec.boxes
+    w = float(rec.image_w)
+    h = float(rec.image_h)
+    out = np.zeros((len(b), 5), dtype=np.float32)
+    out[:, 0] = b[:, 0] / w
+    out[:, 1] = b[:, 1] / h
+    out[:, 2] = b[:, 2] / w
+    out[:, 3] = b[:, 3] / h
+    out[:, 4] = (b[:, 2] - b[:, 0]) * (b[:, 3] - b[:, 1]) / (w * h)
+    return out
+
+
+class FeaturesReader:
+    """Base: opens shards, merges key index (reference :16-66)."""
+
+    def __init__(self, path: Union[PathLike, Sequence[PathLike]]):
+        if isinstance(path, (str, Path)):
+            path = [path]
+        self._stores = [Store(p) for p in path]
+        self._by_key: Dict[str, int] = {}
+        for i, s in enumerate(self._stores):
+            for k in s.keys:
+                self._by_key[k] = i
+
+    @property
+    def keys(self):
+        return self._by_key.keys()
+
+    def __len__(self):
+        return len(self._by_key)
+
+    def __contains__(self, key: str):
+        return key in self._by_key
+
+    def _record(self, key: str) -> StoreRecord:
+        idx = self._by_key.get(key)
+        if idx is None:
+            raise KeyError(f"invalid key: {key}")
+        return self._stores[idx].get(key)
+
+    def close(self):
+        for s in self._stores:
+            s.close()
+
+
+class RegionFeaturesReader(FeaturesReader):
+    """YTb/BnB-style reader: query a tuple of keys (one per merged photo),
+    concatenate regions, prepend the global region
+    (reference BaseFeaturesReader.__getitem__, :153-179)."""
+
+    def __getitem__(self, keys: Tuple[str, ...]):
+        feats, locs, probs = [], [], []
+        for key in keys:
+            rec = self._record(key)
+            boxes5 = _normalize_boxes(rec)
+            loc = np.ones((len(boxes5), 11), dtype=np.float32)
+            loc[:, :5] = boxes5
+            feats.append(rec.features)
+            locs.append(loc)
+            probs.append(rec.cls_prob)
+        features = np.concatenate(feats, axis=0)
+        locations = np.concatenate(locs, axis=0)
+        prob = np.concatenate(probs, axis=0)
+        if features.size == 0:
+            raise RuntimeError("Features could not be correctly read")
+
+        g_feature = features.mean(axis=0, keepdims=True)
+        g_location = np.array([[0, 0, 1, 1, 1, 0, 1, 0, 1, 0, 1]],
+                              dtype=np.float32)
+        g_prob = np.full((1, PROB_DIM), 1.0 / PROB_DIM, dtype=np.float32)
+        return (np.concatenate([g_feature, features], axis=0),
+                np.concatenate([g_location, locations], axis=0),
+                np.concatenate([g_prob, prob], axis=0))
+
+
+class YTbFeaturesReader(RegionFeaturesReader):
+    """Keys look like ``{video}/{frame:04d}`` (reference :187-189)."""
+
+
+class BnBFeaturesReader(RegionFeaturesReader):
+    """Keys look like ``{listing}-{photo}`` (reference :182-184)."""
+
+
+class PanoFeaturesReader(FeaturesReader):
+    """R2R panorama reader (reference :282-341)."""
+
+    def __init__(self, *args, **kwargs):
+        super().__init__(*args, **kwargs)
+        self.viewpoints: Dict[str, Set[str]] = {}
+        for key in self.keys:
+            scan_id, viewpoint_id = key.split("-")
+            self.viewpoints.setdefault(scan_id, set()).add(viewpoint_id)
+
+    def __getitem__(self, query: Tuple[str, float, float]):
+        key, heading, next_heading = query
+        rec = self._record(key)
+        if not rec.is_pano:
+            raise ValueError(f"record {key} has no pano orientation fields")
+
+        boxes5 = _normalize_boxes(rec)
+        loc = np.ones((len(boxes5), 11), dtype=np.float32)
+        loc[:, :5] = boxes5
+        fh = rec.feat_heading
+        fe = rec.feat_elevation
+        loc[:, 5] = np.sin(fh - heading)
+        loc[:, 6] = np.cos(fh - heading)
+        loc[:, 7] = np.sin(fe)
+        loc[:, 8] = np.cos(fe)
+        loc[:, 9] = np.sin(fh - next_heading)
+        loc[:, 10] = np.cos(fh - next_heading)
+
+        features = rec.features
+        g_feature = features.mean(axis=0, keepdims=True)
+        g_location = np.array([[
+            0, 0, 1, 1, 1,
+            np.sin(0 - heading), np.cos(0 - heading),
+            np.sin(0.0), np.cos(0.0),
+            np.sin(0 - next_heading), np.cos(0 - next_heading),
+        ]], dtype=np.float32)
+        g_prob = np.full((1, PROB_DIM), 1.0 / PROB_DIM, dtype=np.float32)
+        return (np.concatenate([g_feature, features], axis=0),
+                np.concatenate([g_location, loc], axis=0),
+                np.concatenate([g_prob, rec.cls_prob], axis=0))

@@ -1,0 +1,190 @@
+"""Host-side batching and device prefetch.
+
+Replaces torch DataLoader + DistributedSampler + pin_memory/non_blocking
+(reference ``utils/dataset/dataset_init.py:190-249``, ``utils/
+distributed.py:156-180``) with:
+
+  * deterministic per-epoch shuffling (seed+epoch), sharded across hosts by
+    ``jax.process_index()`` the way DistributedSampler shards by rank
+  * static-shape collation: candidate counts are padded to the dataset's
+    ``num_candidates()`` upper bound and masked via ``opt_mask`` — every
+    batch hits the same XLA executable
+  * a background producer thread with a bounded queue (host pipelining), and
+    an optional device_put stage so H2D overlaps the previous step
+"""
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Dict, Iterator, List, Optional, Sequence
+
+import numpy as np
+
+
+def shard_indices(n: int, *, shuffle: bool, seed: int, epoch: int,
+                  num_shards: int = 1, shard: int = 0,
+                  drop_last: bool = False) -> np.ndarray:
+    """DistributedSampler-style index sharding."""
+    order = np.arange(n)
+    if shuffle:
+        order = np.random.default_rng(seed + epoch).permutation(n)
+    if num_shards > 1:
+        if drop_last:
+            usable = (n // num_shards) * num_shards
+            order = order[:usable]
+        else:  # pad by wrapping, like DistributedSampler
+            pad = (-len(order)) % num_shards
+            order = np.concatenate([order, order[:pad]])
+        order = order[shard::num_shards]
+    return order
+
+
+def pad_candidates(sample: Dict[str, np.ndarray], nc: int
+                   ) -> Dict[str, np.ndarray]:
+    """Pad the candidate dimension to ``nc``; opt_mask marks real rows."""
+    out = {}
+    cur = sample["opt_mask"].shape[0]
+    assert cur <= nc, (cur, nc)
+    pad = nc - cur
+    for k, v in sample.items():
+        if k in ("instr_id", "ordering_target"):
+            out[k] = v
+        elif k == "ranking_target":
+            if v.ndim == 0:
+                out[k] = v
+            else:
+                out[k] = np.concatenate(
+                    [v, np.zeros((pad,), v.dtype)]) if pad else v
+        elif k == "opt_mask":
+            out[k] = np.concatenate([v, np.zeros((pad,), bool)]) if pad else v
+        else:
+            if pad:
+                padding = np.zeros((pad,) + v.shape[1:], v.dtype)
+                out[k] = np.concatenate([v, padding], axis=0)
+            else:
+                out[k] = v
+    return out
+
+
+BATCH_KEYS = ("ranking_target", "image_features", "image_locations",
+              "image_mask", "image_targets", "image_targets_mask",
+              "instr_tokens", "instr_mask", "instr_targets", "segment_ids",
+              "opt_mask")
+
+
+def collate(samples: Sequence[Dict[str, np.ndarray]], nc: int,
+            with_instr_id: bool = False) -> Dict[str, np.ndarray]:
+    padded = [pad_candidates(s, nc) for s in samples]
+    batch = {k: np.stack([p[k] for p in padded]) for k in BATCH_KEYS}
+    if with_instr_id:
+        batch["instr_id"] = np.stack([p["instr_id"] for p in padded])
+    return batch
+
+
+class Loader:
+    """Iterable over collated batches with background prefetch.
+
+    batch_size semantics follow the reference: the caller passes the
+    *per-step* batch size (global batch // grad-accum // world already
+    applied by the engine, dataset_init.py:204-208).
+    """
+
+    def __init__(self, dataset, batch_size: int, *, shuffle: bool,
+                 seed: int = 1, num_shards: int = 1, shard: int = 0,
+                 drop_last: Optional[bool] = None,
+                 prefetch: int = 2, num_candidates: Optional[int] = None,
+                 with_instr_id: bool = False):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.seed = seed
+        self.num_shards = num_shards
+        self.shard = shard
+        self.drop_last = shuffle if drop_last is None else drop_last
+        self.prefetch = prefetch
+        self.nc = num_candidates or dataset.num_candidates()
+        self.with_instr_id = with_instr_id
+        self.epoch = 0
+
+    def set_epoch(self, epoch: int):
+        self.epoch = epoch
+
+    def __len__(self):
+        n = len(shard_indices(len(self.dataset), shuffle=self.shuffle,
+                              seed=self.seed, epoch=self.epoch,
+                              num_shards=self.num_shards, shard=self.shard,
+                              drop_last=self.drop_last))
+        if self.drop_last:
+            return n // self.batch_size
+        return (n + self.batch_size - 1) // self.batch_size
+
+    def _produce(self, q: queue.Queue, order: np.ndarray):
+        try:
+            buf: List[Dict] = []
+            for idx in order:
+                buf.append(self.dataset[int(idx)])
+                if len(buf) == self.batch_size:
+                    q.put(collate(buf, self.nc, self.with_instr_id))
+                    buf = []
+            if buf and not self.drop_last:
+                q.put(collate(buf, self.nc, self.with_instr_id))
+            q.put(None)
+        except BaseException as e:  # surface worker errors to the consumer
+            q.put(e)
+
+    def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
+        order = shard_indices(len(self.dataset), shuffle=self.shuffle,
+                              seed=self.seed, epoch=self.epoch,
+                              num_shards=self.num_shards, shard=self.shard,
+                              drop_last=self.drop_last)
+        if self.drop_last:
+            order = order[: (len(order) // self.batch_size)
+                          * self.batch_size]
+        q: queue.Queue = queue.Queue(maxsize=self.prefetch)
+        t = threading.Thread(target=self._produce, args=(q, order),
+                             daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is None:
+                break
+            if isinstance(item, BaseException):
+                raise item
+            yield item
+
+
+def device_prefetch(iterator, shardings=None, depth: int = 2):
+    """Move batches to device ahead of consumption so H2D overlaps compute
+    (the reference's pin_memory + non_blocking equivalent,
+    utils_init.py:201-204)."""
+    import jax
+
+    def put(batch):
+        if shardings is None:
+            return jax.device_put(batch)
+        return jax.tree_util.tree_map(jax.device_put, batch, shardings)
+
+    import collections
+    buf = collections.deque()
+    it = iter(iterator)
+    try:
+        for _ in range(depth):
+            buf.append(put(next(it)))
+    except StopIteration:
+        pass
+    while buf:
+        out = buf.popleft()
+        try:
+            buf.append(put(next(it)))
+        except StopIteration:
+            pass
+        yield out
+
+
+def microbatch_reshape(batch: Dict[str, np.ndarray], accum: int
+                       ) -> Dict[str, np.ndarray]:
+    """[A*b, ...] -> [A, b, ...] leading microbatch axis for the scan-based
+    accumulation in the train step."""
+    def r(x):
+        return x.reshape((accum, x.shape[0] // accum) + x.shape[1:])
+    return {k: r(v) for k, v in batch.items()}

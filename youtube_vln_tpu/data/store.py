@@ -1,0 +1,310 @@
+"""VLN feature store — the TPU build's replacement for the reference's LMDB
+databases (``utils/dataset/features_reader.py:16-66``).
+
+The reference stores pickled dicts with base64-encoded float buffers inside
+LMDB and pays pickle+base64+concat costs on every training-loop read.  Here
+records are raw little-endian float32 laid out for zero-copy mmap reads, an
+order-of-magnitude cheaper on the host CPU that has to feed a TPU:
+
+    file := header | record bodies | index
+    header (32B): magic 'VLNSTOR1' | u32 version | u32 flags
+                  | u64 n_records | u64 index_offset
+    body (per record):
+        u32 K (num boxes) | u32 image_w | u32 image_h | u32 rflags
+        f32 features[K,2048] | f32 boxes[K,4] | f32 cls_prob[K,1601]
+        if rflags & PANO:
+            f32 view_heading[36] | f32 view_elevation[36]
+            f32 feat_heading[K] | f32 feat_elevation[K] | f32 feat_view_idx[K]
+    index: per record u16 key_len | key utf8 | u64 offset
+
+Readers: a C++ mmap reader (native/vlnstore.cc, loaded via ctypes) for the
+hot path, with a pure-Python mmap fallback with identical semantics.
+A converter from the reference's LMDB format is provided (requires the
+optional ``lmdb`` package, absent in this image — gated).
+"""
+from __future__ import annotations
+
+import ctypes
+import mmap
+import struct
+from dataclasses import dataclass
+from pathlib import Path
+from typing import Dict, Iterable, List, Optional, Sequence, Tuple, Union
+
+import numpy as np
+
+MAGIC = b"VLNSTOR1"
+VERSION = 1
+FLAG_PANO = 1
+
+FEAT_DIM = 2048
+BOX_DIM = 4
+PROB_DIM = 1601
+N_VIEWS = 36
+
+_HEADER = struct.Struct("<8sIIQQ")
+_REC_HEADER = struct.Struct("<IIII")
+
+
+@dataclass
+class StoreRecord:
+    num_boxes: int
+    image_w: int
+    image_h: int
+    features: np.ndarray      # [K, 2048] f32
+    boxes: np.ndarray         # [K, 4] f32 (x1,y1,x2,y2 in pixels)
+    cls_prob: np.ndarray      # [K, 1601] f32
+    view_heading: Optional[np.ndarray] = None     # [36] f32
+    view_elevation: Optional[np.ndarray] = None   # [36] f32
+    feat_heading: Optional[np.ndarray] = None     # [K] f32
+    feat_elevation: Optional[np.ndarray] = None   # [K] f32
+    feat_view_index: Optional[np.ndarray] = None  # [K] f32
+
+    @property
+    def is_pano(self) -> bool:
+        return self.feat_heading is not None
+
+
+class StoreWriter:
+    """Streaming writer; records are appended, index written on close."""
+
+    def __init__(self, path: Union[str, Path]):
+        self._path = Path(path)
+        self._f = open(self._path, "wb")
+        self._f.write(_HEADER.pack(MAGIC, VERSION, 0, 0, 0))
+        self._index: List[Tuple[str, int]] = []
+
+    def add(self, key: str, rec: StoreRecord) -> None:
+        f = self._f
+        offset = f.tell()
+        k = rec.num_boxes
+        rflags = FLAG_PANO if rec.is_pano else 0
+        f.write(_REC_HEADER.pack(k, rec.image_w, rec.image_h, rflags))
+
+        def put(a, shape):
+            a = np.ascontiguousarray(a, dtype=np.float32)
+            assert a.shape == shape, (a.shape, shape)
+            f.write(a.tobytes())
+
+        put(rec.features, (k, FEAT_DIM))
+        put(rec.boxes, (k, BOX_DIM))
+        put(rec.cls_prob, (k, PROB_DIM))
+        if rflags & FLAG_PANO:
+            put(rec.view_heading, (N_VIEWS,))
+            put(rec.view_elevation, (N_VIEWS,))
+            put(rec.feat_heading, (k,))
+            put(rec.feat_elevation, (k,))
+            put(rec.feat_view_index, (k,))
+        self._index.append((key, offset))
+
+    def close(self) -> None:
+        f = self._f
+        index_offset = f.tell()
+        for key, offset in self._index:
+            kb = key.encode("utf-8")
+            f.write(struct.pack("<H", len(kb)))
+            f.write(kb)
+            f.write(struct.pack("<Q", offset))
+        f.seek(0)
+        f.write(_HEADER.pack(MAGIC, VERSION, 0, len(self._index), index_offset))
+        f.close()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+
+def _load_native() -> Optional[ctypes.CDLL]:
+    lib = Path(__file__).resolve().parent.parent.parent / "native" / "libvlnstore.so"
+    if not lib.exists():
+        return None
+    try:
+        dll = ctypes.CDLL(str(lib))
+    except OSError:
+        return None
+    dll.vlnstore_open.restype = ctypes.c_void_p
+    dll.vlnstore_open.argtypes = [ctypes.c_char_p]
+    dll.vlnstore_close.argtypes = [ctypes.c_void_p]
+    dll.vlnstore_num_records.restype = ctypes.c_uint64
+    dll.vlnstore_num_records.argtypes = [ctypes.c_void_p]
+    dll.vlnstore_key_at.restype = ctypes.c_char_p
+    dll.vlnstore_key_at.argtypes = [ctypes.c_void_p, ctypes.c_uint64]
+    dll.vlnstore_lookup.restype = ctypes.c_int64
+    dll.vlnstore_lookup.argtypes = [ctypes.c_void_p, ctypes.c_char_p]
+    dll.vlnstore_record_ptr.restype = ctypes.c_void_p
+    dll.vlnstore_record_ptr.argtypes = [ctypes.c_void_p, ctypes.c_int64]
+    return dll
+
+
+_NATIVE = None
+_NATIVE_TRIED = False
+
+
+def get_native():
+    global _NATIVE, _NATIVE_TRIED
+    if not _NATIVE_TRIED:
+        _NATIVE = _load_native()
+        _NATIVE_TRIED = True
+    return _NATIVE
+
+
+def _parse_record(buf, offset: int) -> StoreRecord:
+    k, w, h, rflags = _REC_HEADER.unpack_from(buf, offset)
+    p = offset + _REC_HEADER.size
+
+    def take(shape):
+        nonlocal p
+        n = int(np.prod(shape))
+        a = np.frombuffer(buf, dtype="<f4", count=n, offset=p).reshape(shape)
+        p += 4 * n
+        return a
+
+    feats = take((k, FEAT_DIM))
+    boxes = take((k, BOX_DIM))
+    probs = take((k, PROB_DIM))
+    if rflags & FLAG_PANO:
+        vh = take((N_VIEWS,))
+        ve = take((N_VIEWS,))
+        fh = take((k,))
+        fe = take((k,))
+        fv = take((k,))
+        return StoreRecord(k, w, h, feats, boxes, probs, vh, ve, fh, fe, fv)
+    return StoreRecord(k, w, h, feats, boxes, probs)
+
+
+class Store:
+    """Read-only mmap store.  Uses the native reader for key lookup when the
+    shared library is built; record parsing is zero-copy numpy either way."""
+
+    def __init__(self, path: Union[str, Path]):
+        self._path = Path(path)
+        self._file = open(self._path, "rb")
+        self._mm = mmap.mmap(self._file.fileno(), 0, access=mmap.ACCESS_READ)
+        magic, version, _flags, n_records, index_offset = _HEADER.unpack_from(
+            self._mm, 0)
+        if magic != MAGIC:
+            raise ValueError(f"not a VLN store: {path}")
+        if version != VERSION:
+            raise ValueError(f"unsupported store version {version}")
+        self._native = get_native()
+        self._handle = None
+        self._offsets: Dict[str, int] = {}
+        if self._native is not None:
+            self._handle = self._native.vlnstore_open(
+                str(self._path).encode())
+            if not self._handle:
+                self._native = None
+        if self._handle:
+            n = self._native.vlnstore_num_records(self._handle)
+            for i in range(n):
+                key = self._native.vlnstore_key_at(self._handle, i).decode()
+                off = self._native.vlnstore_lookup(self._handle, key.encode())
+                self._offsets[key] = off
+        else:
+            p = index_offset
+            for _ in range(n_records):
+                (klen,) = struct.unpack_from("<H", self._mm, p)
+                p += 2
+                key = self._mm[p:p + klen].decode("utf-8")
+                p += klen
+                (off,) = struct.unpack_from("<Q", self._mm, p)
+                p += 8
+                self._offsets[key] = off
+        if len(self._offsets) != n_records:
+            raise ValueError(
+                f"corrupt store {path}: expected {n_records} records, "
+                f"index has {len(self._offsets)}")
+
+    @property
+    def keys(self):
+        return self._offsets.keys()
+
+    def __len__(self):
+        return len(self._offsets)
+
+    def __contains__(self, key: str):
+        return key in self._offsets
+
+    def get(self, key: str) -> StoreRecord:
+        off = self._offsets.get(key)
+        if off is None:
+            raise KeyError(key)
+        return _parse_record(self._mm, off)
+
+    def close(self):
+        if self._handle and self._native is not None:
+            self._native.vlnstore_close(self._handle)
+            self._handle = None
+        try:
+            self._mm.close()
+        except BufferError:
+            # zero-copy arrays parsed from this store are still alive; the
+            # mapping is released when they are garbage collected
+            pass
+        self._file.close()
+
+
+# --------------------------------------------------------------------------- #
+# converters
+# --------------------------------------------------------------------------- #
+def convert_lmdb(lmdb_path: Union[str, Path], out_path: Union[str, Path],
+                 pano: bool = False) -> int:
+    """Convert a reference LMDB (pickled dicts, features_reader.py:124-150 /
+    193-233 formats) into a VLN store.  Requires the ``lmdb`` package."""
+    import base64
+    import pickle
+
+    try:
+        import lmdb
+    except ImportError as e:  # pragma: no cover - lmdb absent in this image
+        raise RuntimeError(
+            "lmdb is not installed; convert on a machine that has it") from e
+
+    env = lmdb.open(str(lmdb_path), readonly=True, lock=False)
+    n = 0
+    with StoreWriter(out_path) as w, env.begin(write=False) as txn:
+        keys = pickle.loads(txn.get(b"keys"))
+        for bkey in keys:
+            item = pickle.loads(txn.get(bkey))
+            key = bkey.decode()
+
+            def dec(name_old, name_new, dim):
+                if name_old in item:
+                    a = np.frombuffer(item[name_old], dtype=np.float32)
+                else:
+                    a = np.frombuffer(base64.b64decode(item[name_new]),
+                                      dtype=np.float32)
+                return a.reshape((-1, dim))
+
+            if pano:
+                feats = np.frombuffer(base64.b64decode(item["features"]),
+                                      np.float32).reshape(-1, FEAT_DIM)
+                boxes = np.frombuffer(base64.b64decode(item["boxes"]),
+                                      np.float32).reshape(-1, BOX_DIM)
+                probs = np.frombuffer(base64.b64decode(item["cls_prob"]),
+                                      np.float32).reshape(-1, PROB_DIM)
+                b64v = lambda f: np.frombuffer(base64.b64decode(item[f]),
+                                               np.float32)
+                rec = StoreRecord(
+                    len(boxes), int(item["image_w"]), int(item["image_h"]),
+                    feats, boxes, probs,
+                    view_heading=b64v("viewHeading"),
+                    view_elevation=b64v("viewElevation"),
+                    feat_heading=b64v("featureHeading"),
+                    feat_elevation=b64v("featureElevation"),
+                    feat_view_index=b64v("featureViewIndex"))
+            else:
+                old = "image_width" in item
+                feats = dec("feature", "features", FEAT_DIM)
+                boxes = dec("bbox", "boxes", BOX_DIM)
+                probs = dec("cls_prob", "cls_prob", PROB_DIM)
+                rec = StoreRecord(
+                    len(boxes),
+                    int(item["image_width" if old else "image_w"]),
+                    int(item["image_height" if old else "image_h"]),
+                    feats, boxes, probs)
+            w.add(key, rec)
+            n += 1
+    return n
