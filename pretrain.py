@@ -1,0 +1,98 @@
+"""Pretraining entry point (reference ``pretrain.py``).
+
+Recipe parity (README.md:103-119):
+    python pretrain.py --pre_dataset ytb --prefix merge+ \
+        --masked_vision --masked_language --ranking --traj_judge \
+        --batch_size 8 --learning_rate 2e-5 --num_epochs 500 \
+        --save_epochs 100 --from_pretrained <vilbert_cc.bin>
+
+Epoch loop: train -> periodic save + prune -> test_epoch on the YTb test
+split -> best-per-task checkpoints (reference pretrain.py:104-164).
+"""
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+import jax
+
+from youtube_vln_tpu.training.engine import Engine
+from youtube_vln_tpu.training import checkpoint as ckpt
+from youtube_vln_tpu.utils.cli import get_parser, args_to_run_config
+from youtube_vln_tpu.utils.entry import build_model_config
+from youtube_vln_tpu.utils.misc import (dump_config, get_logger,
+                                        get_output_dir, set_seed, NoneLogger)
+
+
+def main(argv=None):
+    parser = get_parser()
+    parser.add_argument("--final", default=False, action="store_true")
+    ns = parser.parse_args(argv)
+    args = args_to_run_config(ns)
+    args.validate()
+
+    is_main = jax.process_index() == 0
+    set_seed(args.seed, jax.process_index())
+
+    save_folder = get_output_dir(ns)
+    logger = NoneLogger()
+    model_save_path = None
+    writer = None
+    if is_main:
+        save_folder.mkdir(parents=True, exist_ok=True)
+        logger = get_logger(__name__, str(save_folder / "train.log"))
+        logger.info(f"Experiment Folder: {save_folder}")
+        model_save_path = save_folder.parent / "data"
+        model_save_path.mkdir(parents=True, exist_ok=True)
+        try:
+            from tensorboardX import SummaryWriter
+            writer = SummaryWriter(
+                logdir=str(save_folder.parent / "tb"), flush_secs=30)
+        except ImportError:
+            pass
+
+    cfg = build_model_config(args)
+    if is_main:
+        dump_config(save_folder, ns, cfg)
+
+    engine = Engine(args, cfg, save_folder=model_save_path,
+                    run_logger=logger)
+    engine.writer = writer
+
+    best = {}
+    if args.ranking:
+        best["ranking"] = 0.0
+    if args.traj_judge:
+        best["traj"] = 0.0
+
+    logger.info(f"starting training from epoch {engine.start_epoch}...")
+    for epoch in range(engine.start_epoch, args.num_epochs):
+        logger.info(f"epoch {epoch}")
+        engine.train_epoch(epoch)
+
+        if is_main and (
+                (args.save_epochs != -1
+                 and (epoch + 1) % args.save_epochs == 0)
+                or epoch == args.num_epochs - 1):
+            engine.save(str(epoch), epoch)
+            ckpt.delete_checkpoint(model_save_path,
+                                   str(epoch - args.save_epochs))
+
+        if not args.skip_val and (args.ranking or args.traj_judge):
+            stats = engine.evaluate("test", epoch)
+            if is_main:
+                for task in best:
+                    acc = stats.get(f"accuracy/{task}", 0.0)
+                    if acc >= best[task]:
+                        best[task] = acc
+                        engine.save(f"best_{task}", epoch)
+
+    if writer is not None:
+        writer.close()
+    engine.close()
+    logger.info("Finish~~~")
+    return best
+
+
+if __name__ == "__main__":
+    main()

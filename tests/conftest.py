@@ -53,3 +53,15 @@ def import_reference_vilbert():
 @pytest.fixture(scope="session")
 def rng():
     return np.random.default_rng(0)
+
+
+def load_entry(name: str):
+    """Load a repo-root entry script (pretrain/train/test) by file path —
+    immune to the name collision with the reference's same-named modules
+    once /root/reference is on sys.path."""
+    import importlib.util
+    spec = importlib.util.spec_from_file_location(
+        f"entry_{name}", REPO_ROOT / f"{name}.py")
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod

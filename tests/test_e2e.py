@@ -1,0 +1,147 @@
+"""End-to-end entry-point tests on synthetic fixtures (CPU).
+
+Covers the full reference workflow: pretrain -> fine-tune -> beam eval ->
+metrics, all through the real CLI surfaces.
+"""
+import json
+import os
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from youtube_vln_tpu.data import fixtures as F
+
+
+@pytest.fixture(scope="module")
+def env(tmp_path_factory):
+    root = tmp_path_factory.mktemp("e2e")
+    data_dir = root / "data"
+    paths = F.build_full_fixture(data_dir)
+    paths["root"] = str(root)
+    return paths
+
+
+GEOM = ["--max_instruction_length", "32", "--max_path_length", "4",
+        "--max_num_boxes", "5", "--min_path_length", "3",
+        "--min_captioned", "2", "--max_captioned", "4",
+        "--num_beams", "4", "--num_beams_train", "3",
+        "--compute_dtype", "float32", "--num_epochs", "2",
+        "--learning_rate", "1e-4", "--batch_size", "2"]
+
+
+def common_flags(env):
+    return GEOM + [
+        "--data_dir", env["data_dir"],
+        "--bert_tokenizer", env["vocab_path"],
+        "--config_file", env["config_file"],
+        "--from_pretrained", "",
+        "--output_dir", str(Path(env["root"]) / "result"),
+        "--img_feature", env["pano_store"],
+        "--ytb_feature", env["ytb_store"],
+        "--skeleton_path", env["skeleton_path"],
+    ]
+
+
+def test_pretrain_entry(env):
+    from conftest import load_entry
+    pretrain = load_entry('pretrain')
+    best = pretrain.main(common_flags(env) + [
+        "--pre_dataset", "ytb", "--prefix", "merge+",
+        "--masked_vision", "--masked_language", "--ranking", "--traj_judge",
+        "--save_epochs", "1", "--save_name", "pre"])
+    assert "ranking" in best and 0.0 <= best["ranking"] <= 1.0
+    result_dir = Path(env["root"]) / "result" / "pre"
+    ckpts = list(result_dir.glob("data/*.bin"))
+    assert any("best_ranking" in c.name for c in ckpts)
+    env["pretrained"] = str(next(c for c in ckpts if c.stem == "1"))
+
+
+def test_checkpoint_loads_in_reference(env):
+    """The .bin written by pretrain must load into the reference PyTorch
+    model without errors."""
+    from conftest import import_reference_vilbert
+    ref = import_reference_vilbert()
+    import sys
+    sys.path.insert(0, "/root/reference")
+    from types import SimpleNamespace
+    from lily import Lily
+
+    args = SimpleNamespace(model_name="vilbert", ranking=True,
+                           traj_judge=True, masked_vision=True,
+                           masked_language=True)
+    cfg_json = json.load(open(env["config_file"]))
+    ref_cfg = ref.BertConfig(**{k: tuple(v) if isinstance(v, list) else v
+                                for k, v in cfg_json.items()})
+    ref_cfg.args = args
+    model = Lily(ref_cfg)
+
+    import torch
+    payload = torch.load(env["pretrained"], map_location="cpu",
+                         weights_only=False)
+    missing, unexpected = model.load_state_dict(payload["model_state_dict"],
+                                                strict=False)
+    assert not missing, missing[:4]
+    assert not unexpected, unexpected[:4]
+
+
+def test_train_entry(env):
+    from conftest import load_entry
+    train = load_entry('train')
+    best_seen, best_unseen = train.main(common_flags(env) + [
+        "--ranking", "--shuffle_visual_features", "--save_name", "ft",
+        "--from_pretrained", env["pretrained"]])
+    assert 0.0 <= best_seen <= 1.0 and 0.0 <= best_unseen <= 1.0
+    ckpts = list((Path(env["root"]) / "result" / "ft" / "data").glob("*.bin"))
+    assert any("best_unseen" in c.name for c in ckpts)
+    env["finetuned"] = str(next(c for c in ckpts
+                                if "best_unseen" in c.name))
+
+
+def test_test_entry_and_metrics(env):
+    from conftest import load_entry
+    test_entry = load_entry('test')
+    results_path = test_entry.main(common_flags(env) + [
+        "--split", "val_unseen", "--save_name", "ev",
+        "--from_pretrained", env["finetuned"]])
+    results = json.load(open(results_path))
+    assert len(results) > 0
+    assert all("instr_id" in r and "trajectory" in r for r in results)
+
+    import importlib.util
+    spec = importlib.util.spec_from_file_location(
+        "calc", Path(__file__).resolve().parent.parent / "scripts"
+        / "calculate_metrics.py")
+    calc = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(calc)
+    summary = calc.main([results_path, "--data_dir", env["data_dir"],
+                         "--split", "val_unseen"])
+    assert set(summary) == {"length", "nav_error", "oracle_success_rate",
+                            "success_rate", "spl"}
+    assert summary["spl"] <= summary["success_rate"] <= 1.0
+
+
+def test_random_testing_floor(env):
+    """--random_testing gives the chance-level ablation
+    (reference test.py:153-154)."""
+    from conftest import load_entry
+    test_entry = load_entry('test')
+    results_path = test_entry.main(common_flags(env) + [
+        "--split", "val_unseen", "--save_name", "rnd",
+        "--random_testing"])
+    results = json.load(open(results_path))
+    assert len(results) > 0
+
+
+def test_resume(env):
+    """--resume restores optimizer/epoch and continues
+    (reference vilbert_init.py:44-70)."""
+    from conftest import load_entry
+    pretrain = load_entry('pretrain')
+    best = pretrain.main(common_flags(env) + [
+        "--pre_dataset", "ytb", "--prefix", "merge+", "--ranking",
+        "--save_name", "res", "--save_epochs", "1", "--resume",
+        "--from_pretrained", env["pretrained"]])
+    # resumed at epoch 2 with num_epochs=2 -> no training epochs run, but
+    # the entry completes and returns the best dict
+    assert "ranking" in best

@@ -465,8 +465,15 @@ class BeamDataset:
             if self.shuffle_visual or self.traj_judge_only:
                 n += self.args.num_negatives
             return n
+        if self.batch_size == 1 and self.num_beams <= 1:
+            # test.py mode: all ranked paths are scored, no tiling
+            # (reference test.py:46-49, all_dataset.py:749-754)
+            return self.max_beam_count()
         return self.num_beams + (self.args.num_negatives + 1
                                  if self.shuffle_visual else 0)
+
+    def max_beam_count(self) -> int:
+        return max(len(item["ranked_paths"]) for item in self.beam_data)
 
     def _success(self, scan_id, gt_path, beam_paths, margin=3.0):
         d = self.distances[scan_id]

@@ -182,6 +182,41 @@ def _default_args(**kw):
     return RunConfig(**base)
 
 
+def build_full_fixture(data_dir, *, seed: int = 0) -> Dict[str, str]:
+    """Assemble the canonical data-directory layout the entry points expect
+    (dataset_init.py path conventions), plus a tiny model-config JSON."""
+    data_dir = Path(data_dir)
+    ytb_dir = data_dir / "YouTube-VLN" / "ytb"
+    ytb = build_ytb_fixture(ytb_dir, seed=seed)
+    r2r = build_r2r_fixture(data_dir, seed=seed)
+
+    # relocate the YTb template skeleton to the canonical task path
+    task_skeleton = data_dir / "task" / "R2R_train_templates.json"
+    task_skeleton.write_bytes(Path(ytb["skeleton_path"]).read_bytes())
+
+    cfg_dir = data_dir / "config"
+    cfg_dir.mkdir(exist_ok=True)
+    tiny_cfg = dict(
+        vocab_size=256, hidden_size=32, num_hidden_layers=4,
+        num_attention_heads=4, intermediate_size=64,
+        v_feature_size=2048, v_target_size=1601, v_hidden_size=48,
+        v_num_hidden_layers=2, v_num_attention_heads=4,
+        v_intermediate_size=48, bi_hidden_size=48, bi_num_attention_heads=4,
+        v_biattention_id=[0, 1], t_biattention_id=[2, 3],
+        max_position_embeddings=64)
+    with open(cfg_dir / "tiny.json", "w") as fh:
+        json.dump(tiny_cfg, fh)
+
+    return dict(
+        data_dir=str(data_dir),
+        vocab_path=str(data_dir / "vocab.txt"),
+        config_file=str(cfg_dir / "tiny.json"),
+        ytb_store=ytb["store_path"],
+        pano_store=r2r["store_path"],
+        skeleton_path=str(task_skeleton),
+    )
+
+
 # --------------------------------------------------------------------------- #
 # R2R fixture
 # --------------------------------------------------------------------------- #
@@ -236,9 +271,9 @@ def build_r2r_fixture(root, *, n_scans: int = 2, n_viewpoints: int = 9,
     write_store(store_path, pano_keys, pano=True, seed=seed)
 
     # R2R items + beams per split
-    def random_path(scan, length):
+    def random_path(scan, length, start=None):
         g = graphs[scan]
-        node = rng.choice(sorted(g.nodes))
+        node = start if start is not None else rng.choice(sorted(g.nodes))
         path = [node]
         while len(path) < length:
             nxt = rng.choice(sorted(g.neighbors(path[-1])))
@@ -263,7 +298,9 @@ def build_r2r_fixture(root, *, n_scans: int = 2, n_viewpoints: int = 9,
             for instr_idx in range(3):
                 ranked = []
                 for b in range(n_beams):
-                    bp = gt if b == 0 else random_path(scan, path_len)
+                    # real beam-search candidates share the start viewpoint
+                    bp = gt if b == 0 else random_path(scan, path_len,
+                                                       start=gt[0])
                     ranked.append([[vp, 0.0, 0.0] for vp in bp])
                 beams.append({"instr_id": f"{pid}_{instr_idx}",
                               "ranked_paths": ranked})

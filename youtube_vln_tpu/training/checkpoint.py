@@ -1,0 +1,94 @@
+"""Checkpointing.
+
+Save format is a torch ``.bin`` interop-compatible with the reference
+(``utils/utils_init.py:277-295``): ``model_state_dict`` uses the exact
+reference key layout (loadable by the original PyTorch code), plus
+``jax_optimizer_state`` / ``jax_step`` for our optimizer resume and
+``epoch``.  Loading accepts:
+
+  * our own checkpoints (full resume)
+  * reference checkpoints — raw state dicts, ``model_state_dict`` wrappers,
+    ViLBERT Conceptual-Captions dumps without the ``bert.`` prefix,
+    gamma/beta legacy names (vilbert/vilbert.py:1098-1160)
+
+``delete_checkpoint`` prunes old epochs like the reference
+(utils_init.py:297-300).
+"""
+from __future__ import annotations
+
+import io
+import logging
+import os
+import pickle
+from pathlib import Path
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import numpy as np
+
+from ..config import LilyConfig
+from ..models import torch_io
+
+logger = logging.getLogger(__name__)
+
+
+def checkpoint_path(save_dir, save_name) -> str:
+    return os.path.join(save_dir, f"{save_name}.bin")
+
+
+def _tree_to_numpy(tree):
+    return jax.tree_util.tree_map(lambda x: np.asarray(x), tree)
+
+
+def save_checkpoint(save_dir, save_name, params, cfg: LilyConfig,
+                    opt_state=None, step: int = 0, epoch: int = 0) -> str:
+    import torch
+
+    path = checkpoint_path(save_dir, save_name)
+    extra: Dict[str, Any] = {"epoch": epoch, "jax_step": int(step)}
+    if opt_state is not None:
+        buf = io.BytesIO()
+        pickle.dump(_tree_to_numpy(opt_state), buf)
+        extra["jax_optimizer_state"] = buf.getvalue()
+    torch_io.save_torch_checkpoint(path, _tree_to_numpy(params), cfg,
+                                   extra=extra)
+    return path
+
+
+def load_checkpoint(path, cfg: LilyConfig, params,
+                    ) -> Tuple[Any, Optional[Any], int, int]:
+    """Returns (params, opt_state_or_None, step, epoch)."""
+    import torch
+
+    payload = torch.load(path, map_location="cpu", weights_only=False)
+    params, missing, unexpected = torch_io.state_dict_to_params(
+        payload if isinstance(payload, dict) else payload.state_dict(),
+        cfg, params)
+    if missing:
+        logger.info("checkpoint %s: %d params kept initialization (e.g. %s)",
+                    path, len(missing), missing[0])
+    real_unexpected = [k for k in unexpected
+                       if "q_dense" not in k
+                       and k not in ("epoch", "jax_step",
+                                     "jax_optimizer_state",
+                                     "optimizer_state_dict",
+                                     "scheduler_state_dict")]
+    if real_unexpected:
+        logger.info("checkpoint %s: %d unused entries (e.g. %s)", path,
+                    len(real_unexpected), real_unexpected[0])
+
+    opt_state = None
+    step = 0
+    epoch = -1
+    if isinstance(payload, dict):
+        if "jax_optimizer_state" in payload:
+            opt_state = pickle.loads(payload["jax_optimizer_state"])
+        step = int(payload.get("jax_step", 0))
+        epoch = int(payload.get("epoch", -1))
+    return params, opt_state, step, epoch
+
+
+def delete_checkpoint(save_dir, save_name) -> None:
+    path = checkpoint_path(save_dir, save_name)
+    if os.path.exists(path):
+        os.unlink(path)
