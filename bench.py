@@ -36,7 +36,7 @@ def main():
 
     cfg = lily_base_config(ranking=True, traj_judge=True, masked_vision=True,
                            masked_language=True, compute_dtype="bfloat16",
-                           remat=True)
+                           use_pallas_attention=True, remat=False)
     args = RunConfig(ranking=True, traj_judge=True, masked_vision=True,
                      masked_language=True, pretrain=True,
                      learning_rate=2e-5, num_epochs=1,

@@ -334,6 +334,10 @@ def bert_model(params, cfg: LilyConfig, instr_tokens, image_features,
     handled downstream via opt_mask (see training/losses.py)."""
     dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
 
+    if attention_fn is None and cfg.use_pallas_attention:
+        from ..ops.attention import select_attention_fn
+        attention_fn = select_attention_fn(cfg)
+
     if attention_mask is None:
         attention_mask = jnp.ones_like(instr_tokens)
     if token_type_ids is None:
