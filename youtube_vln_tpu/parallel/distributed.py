@@ -1,0 +1,87 @@
+"""Multi-host initialization and process-level helpers.
+
+Replaces the reference's NCCL/env:// bootstrap (``utils/distributed.py``):
+
+  * ``init_process_group(nccl)`` + RANK/SLURM resolution (:37-90)
+      -> :func:`initialize` wrapping ``jax.distributed.initialize`` (DCN
+      rendezvous; ICI needs no setup)
+  * DDP wrap / DataParallel fallback (:97-104)   -> pjit over the mesh
+  * ``build_sampler`` rank sharding (:156-180)   -> data.loader.shard_indices
+  * flat-buffer all-reduce helpers (:183-213)    -> in-graph psum/pmean via
+      GSPMD (host-side helpers below exist for rare eager needs)
+
+The dead horovod helpers (:216-381) have no equivalent — they were
+unreachable in the reference too (SURVEY §2.3).
+"""
+from __future__ import annotations
+
+import logging
+import os
+from typing import Optional
+
+import jax
+import numpy as np
+
+logger = logging.getLogger(__name__)
+
+
+def initialize(coordinator_address: Optional[str] = None,
+               num_processes: Optional[int] = None,
+               process_id: Optional[int] = None) -> None:
+    """Multi-host (multi-slice / DCN) rendezvous.
+
+    On Cloud TPU the arguments are auto-detected from the metadata server;
+    explicit values mirror the reference's RANK / SLURM_PROCID / NODE_RANK
+    resolution chain (utils/distributed.py:37-60).
+    """
+    if jax.process_count() > 1:
+        return  # already initialized
+    env = os.environ
+    if coordinator_address is None:
+        coordinator_address = env.get("COORDINATOR_ADDRESS")
+    if num_processes is None and "WORLD_SIZE" in env:
+        num_processes = int(env["WORLD_SIZE"])
+    if process_id is None:
+        for key in ("RANK", "SLURM_PROCID", "NODE_RANK"):
+            if key in env:
+                process_id = int(env[key])
+                break
+    if coordinator_address is None and num_processes is None:
+        # single host or auto-detected TPU environment
+        try:
+            jax.distributed.initialize()
+        except Exception as e:  # single-process runs
+            logger.debug("jax.distributed.initialize skipped: %s", e)
+        return
+    jax.distributed.initialize(coordinator_address=coordinator_address,
+                               num_processes=num_processes,
+                               process_id=process_id)
+
+
+def is_main_process() -> bool:
+    return jax.process_index() == 0
+
+
+def world_size() -> int:
+    return jax.process_count()
+
+
+def all_reduce_mean_host(value: float) -> float:
+    """Eager cross-host mean for host-side scalars (rarely needed; training
+    metrics are already global in-graph)."""
+    if jax.process_count() == 1:
+        return float(value)
+    from jax.experimental import multihost_utils
+    arr = multihost_utils.process_allgather(np.asarray([value]))
+    return float(np.mean(arr))
+
+
+def broadcast_host(value, root: int = 0):
+    """Broadcast a host value from the root process (replaces the
+    reference's any_broadcast, utils/distributed.py:349-381)."""
+    if jax.process_count() == 1:
+        return value
+    from jax.experimental import multihost_utils
+    return multihost_utils.broadcast_one_to_all(value,
+                                                is_source=jax.process_index()
+                                                == root)

@@ -1,0 +1,17 @@
+"""Offline dataset-construction pipeline (TPU-native rebuild of
+``scripts/`` — the 10-step recipe in scripts/README.md:13-106).
+
+Steps and their homes:
+  1  video download manifest                -> assets.py (gated, no egress)
+  2  frame extraction @1fps (ffmpeg)        -> frames.py
+  3  region features (detector)             -> detector.py (pluggable; the
+       reference's Caffe BUTD is an external dependency there too)
+  4  TSV -> feature-store conversion        -> detector.py
+  5  indoor / person filters                -> filters.py (pluggable scorers)
+  6  CLIP frame features + zero-shot
+       "room with object" captions          -> clip_captions.py
+  7  inverse action model (JAX)             -> inverse_action.py
+  8  per-video action profiles              -> inverse_action.py
+  9  train/test JSON build + frozen testset -> build_dataset.py
+  10 room-type photo merging                -> merge_photos.py
+"""

@@ -1,0 +1,89 @@
+"""Step 9: assemble the pretraining JSONs and freeze the eval testset.
+
+Reference ``scripts/build_dataset/{build_dataset,preprocess_dataset,
+build_testset}.py``: caption + action + filter artifacts become
+``ytb_train.json`` / ``ytb_test.json`` (records with video_id / frame_id /
+caption / action), split by video at ``test_rate``; eval negatives are
+frozen into ``testset.json`` by running the live samplers once
+(build_testset.py:60-130 reuses the common.py generators the same way).
+"""
+from __future__ import annotations
+
+import json
+import random
+from pathlib import Path
+from typing import Dict, List, Optional, Sequence
+
+from . import filters as F
+
+
+def assemble_records(video_ids: Sequence[str],
+                     captions_by_video: Dict[str, Dict[str, List[str]]],
+                     actions_by_video: Dict[str, Dict[int, str]],
+                     indoor_by_video: Optional[Dict[str, List[int]]] = None,
+                     maskrcnn_by_video: Optional[Dict[str, Dict]] = None,
+                     ) -> List[Dict]:
+    """One record per surviving frame.
+
+    captions_by_video: vid -> {"%04d.jpg": [caption]} (captions_SE.json)
+    actions_by_video:  vid -> {frame_id: action word} (inverse model output);
+                       frames without an action entry get caption "" (they
+                       are captionless context frames).
+    """
+    records = []
+    for vid in video_ids:
+        caps = captions_by_video[vid]
+        actions = actions_by_video.get(vid, {})
+        for name, cap_list in sorted(caps.items()):
+            fid = int(name.split(".")[0])
+            caption = cap_list[0]
+            if not F.frame_passes(
+                    fid,
+                    indoor_resnet=(indoor_by_video or {}).get(vid),
+                    maskrcnn=(maskrcnn_by_video or {}).get(vid),
+                    caption=caption):
+                continue
+            keyframe = fid in actions
+            records.append({
+                "video_id": vid,
+                "frame_id": fid,
+                "caption": caption if keyframe else "",
+                "action": actions.get(fid, "forward"),
+            })
+    return records
+
+
+def split_train_test(records: List[Dict], test_rate: float = 0.05,
+                     seed: int = 0):
+    """Split by video (the reference splits at video granularity)."""
+    videos = sorted({r["video_id"] for r in records})
+    rng = random.Random(seed)
+    rng.shuffle(videos)
+    n_test = max(1, int(len(videos) * test_rate)) if len(videos) > 1 else 0
+    test_videos = set(videos[:n_test])
+    train = [r for r in records if r["video_id"] not in test_videos]
+    test = [r for r in records if r["video_id"] in test_videos]
+    return train, test
+
+
+def write_dataset(records: List[Dict], path) -> Path:
+    path = Path(path)
+    path.parent.mkdir(parents=True, exist_ok=True)
+    with open(path, "w") as f:
+        json.dump(records, f)
+    return path
+
+
+def freeze_testset(dataset, out_path) -> Path:
+    """Run the live samplers once per listing and freeze the result
+    (reference build_testset.py).  ``dataset`` is a training-mode
+    YTbDataset/BnBDataset."""
+    testset = {}
+    for listing_id in dataset.listing_ids:
+        pos, negc, negi, negr, order = dataset.pick_photo_ids(listing_id)
+        testset[listing_id] = [pos, negc, negi, negr, order]
+    out_path = Path(out_path)
+    out_path.parent.mkdir(parents=True, exist_ok=True)
+    with open(out_path, "w") as f:
+        json.dump(testset, f)
+    return out_path

@@ -1,0 +1,130 @@
+"""Step 7-8: inverse action model + per-video action profiles (JAX).
+
+The reference trains a small classifier over frozen ResNet-18 feature maps
+of consecutive frame pairs to predict the camera action between them —
+{forward, left, right} (``scripts/inverse_action/inverse_model.py:34-88``:
+concat [B,1024,7,7] -> 1x1 conv 256 -> 3x3 conv 256 -> 3x3 conv 64 ->
+fc 128 -> fc 3), trained on Gibson/Habitat trajectories.
+
+Here the head is a pure-JAX model over pluggable backbone feature maps
+([7,7,512] per frame; any frozen encoder works), trained with the same
+topology; profiles are written as JSON (the reference's feather file is a
+pandas detail, ``genearate_Profiles.py``).
+"""
+from __future__ import annotations
+
+import json
+from pathlib import Path
+from typing import Callable, Dict, Iterator, List, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+ACTIONS = ("forward", "left", "right")
+ACTION_MAP = {0: "forward", 1: "left", 2: "right"}
+
+
+def init_inverse_params(key, feat_channels: int = 512) -> Dict:
+    std = 0.05
+    ks = jax.random.split(key, 5)
+    c_in = 2 * feat_channels
+
+    def conv(k, kh, kw, cin, cout):
+        return {"w": std * jax.random.normal(k, (kh, kw, cin, cout),
+                                             jnp.float32),
+                "b": jnp.zeros((cout,), jnp.float32)}
+
+    return {
+        "conv1": conv(ks[0], 1, 1, c_in, 256),
+        "conv2": conv(ks[1], 3, 3, 256, 256),
+        "conv3": conv(ks[2], 3, 3, 256, 64),
+        "fc1": {"w": std * jax.random.normal(ks[3], (64 * 3 * 3, 128)),
+                "b": jnp.zeros((128,))},
+        "fc2": {"w": std * jax.random.normal(ks[4], (128, 3)),
+                "b": jnp.zeros((3,))},
+    }
+
+
+def _conv(x, p, stride=1):
+    y = jax.lax.conv_general_dilated(
+        x, p["w"], (stride, stride), "VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    return y + p["b"]
+
+
+def inverse_forward(params, feat_k, feat_k1, *, train=False, rng=None):
+    """feat_k/feat_k1: [B, 7, 7, C] backbone maps -> [B, 3] logits."""
+    x = jnp.concatenate([feat_k, feat_k1], axis=-1)
+    x = jax.nn.relu(_conv(x, params["conv1"]))          # [B,7,7,256]
+    x = jax.nn.relu(_conv(x, params["conv2"]))          # [B,5,5,256]
+    if train and rng is not None:
+        x = jnp.where(jax.random.bernoulli(rng, 0.5, x.shape), x / 0.5, 0.0)
+    x = jax.nn.relu(_conv(x, params["conv3"]))          # [B,3,3,64]
+    x = x.reshape(x.shape[0], -1)
+    x = jax.nn.relu(x @ params["fc1"]["w"] + params["fc1"]["b"])
+    return x @ params["fc2"]["w"] + params["fc2"]["b"]
+
+
+def train_inverse_model(pairs: Iterator[Tuple[np.ndarray, np.ndarray,
+                                              np.ndarray]],
+                        *, steps: int = 100, lr: float = 1e-3,
+                        feat_channels: int = 512, seed: int = 0):
+    """Train the head on (feat_k, feat_k1, action) batches.  Returns
+    (params, losses)."""
+    import optax
+
+    params = init_inverse_params(jax.random.PRNGKey(seed), feat_channels)
+    tx = optax.adam(lr)
+    opt_state = tx.init(params)
+
+    @jax.jit
+    def step(params, opt_state, fk, fk1, y, rng):
+        def loss_fn(p):
+            logits = inverse_forward(p, fk, fk1, train=True, rng=rng)
+            logp = jax.nn.log_softmax(logits)
+            return -jnp.mean(jnp.take_along_axis(logp, y[:, None], 1))
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    rng = jax.random.PRNGKey(seed + 1)
+    losses = []
+    for i, (fk, fk1, y) in zip(range(steps), pairs):
+        rng, sub = jax.random.split(rng)
+        params, opt_state, loss = step(params, opt_state,
+                                       jnp.asarray(fk), jnp.asarray(fk1),
+                                       jnp.asarray(y), sub)
+        losses.append(loss)  # device values; forced once at the end
+    return params, [float(x) for x in losses]
+
+
+def predict_actions(params, feats: Sequence[np.ndarray]) -> List[str]:
+    """Actions between consecutive frames: len(feats)-1 predictions."""
+    if len(feats) < 2:
+        return []
+    fk = jnp.stack(feats[:-1])
+    fk1 = jnp.stack(feats[1:])
+    logits = jax.jit(inverse_forward)(params, fk, fk1)
+    return [ACTION_MAP[int(i)] for i in np.asarray(jnp.argmax(logits, -1))]
+
+
+def write_action_profiles(out_dir, video_id: str,
+                          trajectories: Dict[str, List[int]],
+                          actions_by_frame: Dict[int, str],
+                          captions: Dict[str, List[str]]) -> Path:
+    """Per-video inverses_actions.json (reference genearate_Profiles.py):
+    one {frame_id: [action]} dict per trajectory, actions for all but the
+    last frame."""
+    profiles = []
+    for _, frames in trajectories.items():
+        per = {}
+        for i, fid in enumerate(frames[:-1]):
+            per[str(fid)] = [actions_by_frame[fid]]
+        profiles.append(per)
+    d = Path(out_dir) / video_id
+    d.mkdir(parents=True, exist_ok=True)
+    path = d / "inverses_actions.json"
+    with open(path, "w") as f:
+        json.dump(profiles, f)
+    return path
