@@ -366,3 +366,41 @@ def test_collate_pads_candidates():
     assert batch["opt_mask"][0].sum() == 3
     assert batch["image_features"].shape == (1, 5, 4, 8)
     assert batch["ranking_target"].shape == (1, 5)
+
+
+def test_loader_worker_determinism(ytb_env):
+    """num_workers must not change the sampled batches (per-item seeding)."""
+    from youtube_vln_tpu.data.tokenizer import load_tokenizer
+    tok = load_tokenizer(ytb_env["vocab_path"])
+    reader = YTbFeaturesReader(ytb_env["store_path"])
+    args = _ytb_args(skeleton_path=ytb_env["skeleton_path"])
+    ds = YTbDataset(args=args, caption_path=ytb_env["caption_path"],
+                    tokenizer=tok, features_reader=reader,
+                    masked_vision=True, masked_language=True, training=True,
+                    seed=0)
+    batches = {}
+    for nw in (0, 2):
+        loader = Loader(ds, batch_size=2, shuffle=True, seed=3,
+                        num_workers=nw)
+        batches[nw] = list(loader)
+    assert len(batches[0]) == len(batches[2])
+    for b0, b2 in zip(batches[0], batches[2]):
+        for k in b0:
+            np.testing.assert_array_equal(b0[k], b2[k], err_msg=k)
+    reader.close()
+
+
+def test_io_dtype_halves_feature_bytes(ytb_env):
+    from youtube_vln_tpu.data.tokenizer import load_tokenizer
+    tok = load_tokenizer(ytb_env["vocab_path"])
+    reader = YTbFeaturesReader(ytb_env["store_path"])
+    args = _ytb_args(skeleton_path=ytb_env["skeleton_path"])
+    assert args.io_dtype == "float16"
+    ds = YTbDataset(args=args, caption_path=ytb_env["caption_path"],
+                    tokenizer=tok, features_reader=reader,
+                    masked_vision=True, masked_language=True, training=True,
+                    seed=0)
+    s = ds[0]
+    assert s["image_features"].dtype == np.float16
+    assert s["image_targets"].dtype == np.float16
+    reader.close()

@@ -27,7 +27,7 @@ GEOM = ["--max_instruction_length", "32", "--max_path_length", "4",
         "--min_captioned", "2", "--max_captioned", "4",
         "--num_beams", "4", "--num_beams_train", "3",
         "--compute_dtype", "float32", "--num_epochs", "2",
-        "--learning_rate", "1e-4", "--batch_size", "2"]
+        "--learning_rate", "1e-4", "--batch_size", "2", "--num_workers", "0"]
 
 
 def common_flags(env):

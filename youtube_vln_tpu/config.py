@@ -236,6 +236,8 @@ class RunConfig:
     mesh_shape: Tuple[int, ...] = ()      # () -> all devices on one data axis
     mesh_axes: Tuple[str, ...] = ("data",)
     compute_dtype: str = "bfloat16"
+    io_dtype: str = "float16"   # host->device dtype for features/targets;
+                                # halves pipe/H2D traffic, model upcasts
     use_pallas_attention: bool = True
     remat: bool = False
     profile_dir: str = ""

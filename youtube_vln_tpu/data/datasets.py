@@ -119,6 +119,7 @@ class PretrainDataset:
         self.traj_judge_only = args.traj_judge and not args.ranking
         self.assembler = _PathFeatureAssembler(args.max_path_length,
                                                args.max_num_boxes)
+        self.io_dtype = np.dtype(getattr(args, "io_dtype", "float32"))
 
         captions = self.load_captions(caption_path)
         self.caption_by_key = {self.caption_key(c): c for c in captions}
@@ -133,6 +134,11 @@ class PretrainDataset:
             key: load_trajectories(path, self.dataset_type)
             for key, path in (testset_path or {}).items()
         } if not training else {}
+
+    def reseed(self, seed: int) -> None:
+        """Deterministic per-item seeding (see data.loader)."""
+        self.rng.seed(seed)
+        self.np_rng = np.random.default_rng(seed)
 
     # hooks ------------------------------------------------------------- #
     def load_captions(self, path):
@@ -214,10 +220,10 @@ class PretrainDataset:
 
     def _finalize(self, instructions, feats, positive, order_labels):
         nc = len(instructions)
-        image_features = np.stack([f[0] for f in feats]).astype(np.float32)
-        image_locations = np.stack([f[1] for f in feats]).astype(np.float32)
-        image_probs = np.stack([f[2] for f in feats]).astype(np.float32)
-        image_mask = np.stack([f[3] for f in feats]).astype(np.int32)
+        image_features = np.stack([f[0] for f in feats])
+        image_locations = np.stack([f[1] for f in feats])
+        image_probs = np.stack([f[2] for f in feats])
+        image_mask = np.stack([f[3] for f in feats])
         instr_tokens = np.asarray(instructions, np.int32)
         instr_mask = (instr_tokens > 0).astype(np.int32)
         segment_ids = np.zeros_like(instr_tokens)
@@ -225,7 +231,7 @@ class PretrainDataset:
         if self.masked_vision:
             image_features, image_targets, image_targets_mask = \
                 randomize_regions_np(image_features, image_probs, image_mask,
-                                     self.np_rng)
+                                     self.np_rng, copy=False)
         else:
             image_targets, image_targets_mask = unmasked_region_targets(
                 image_probs, image_mask)
@@ -253,16 +259,18 @@ class PretrainDataset:
             ranking_target = np.zeros((nc,), np.float32)
             ranking_target[0] = 1
 
+        image_features = image_features.astype(self.io_dtype, copy=False)
         return dict(
             ranking_target=ranking_target,
             image_features=image_features,
             image_locations=image_locations,
             image_mask=image_mask,
-            image_targets=image_targets.astype(np.float32),
-            image_targets_mask=image_targets_mask.astype(np.int32),
-            instr_tokens=instr_tokens.astype(np.int32),
+            image_targets=image_targets.astype(self.io_dtype, copy=False),
+            image_targets_mask=image_targets_mask.astype(np.int32,
+                                                         copy=False),
+            instr_tokens=instr_tokens.astype(np.int32, copy=False),
             instr_mask=instr_mask,
-            instr_targets=instr_targets.astype(np.int32),
+            instr_targets=instr_targets.astype(np.int32, copy=False),
             segment_ids=segment_ids,
             opt_mask=np.ones((nc,), bool),
             ordering_target=ordering_target,
@@ -423,6 +431,7 @@ class BeamDataset:
         self.tok = tokenizer
         self.assembler = _PathFeatureAssembler(args.max_path_length,
                                                args.max_num_boxes)
+        self.io_dtype = np.dtype(getattr(args, "io_dtype", "float32"))
         if shuffler not in ("different", "nonadj"):
             raise ValueError(f"Unexpected shuffling mode ({shuffler})")
         self.shuffler = S.load_shuffler(shuffler)
@@ -455,6 +464,10 @@ class BeamDataset:
                 logger.warning("Skipping beam %s", item["instr_id"])
                 continue
             self.beam_to_vln[idx] = path_to_vln[pid]
+
+    def reseed(self, seed: int) -> None:
+        self.rng.seed(seed)
+        self.np_rng = np.random.default_rng(seed)
 
     def __len__(self):
         return len(self.beam_data)
@@ -630,10 +643,10 @@ class BeamDataset:
 
     def _finalize(self, instr_tokens, feats, target, instr_id):
         nc = len(feats)
-        image_features = np.stack([f[0] for f in feats]).astype(np.float32)
-        image_locations = np.stack([f[1] for f in feats]).astype(np.float32)
-        image_probs = np.stack([f[2] for f in feats]).astype(np.float32)
-        image_mask = np.stack([f[3] for f in feats]).astype(np.int32)
+        image_features = np.stack([f[0] for f in feats])
+        image_locations = np.stack([f[1] for f in feats])
+        image_probs = np.stack([f[2] for f in feats])
+        image_mask = np.stack([f[3] for f in feats])
         instr_tokens = np.tile(instr_tokens[None, :], (nc, 1))
         instr_mask = (instr_tokens > 0).astype(np.int32)
         segment_ids = np.zeros_like(instr_tokens)
@@ -641,7 +654,7 @@ class BeamDataset:
         if self.masked_vision:
             image_features, image_targets, image_targets_mask = \
                 randomize_regions_np(image_features, image_probs, image_mask,
-                                     self.np_rng)
+                                     self.np_rng, copy=False)
         else:
             image_targets, image_targets_mask = unmasked_region_targets(
                 image_probs, image_mask)
@@ -658,16 +671,18 @@ class BeamDataset:
         else:
             ranking_target = np.asarray(target, np.float32)
 
+        image_features = image_features.astype(self.io_dtype, copy=False)
         return dict(
             ranking_target=ranking_target,
             image_features=image_features,
             image_locations=image_locations,
             image_mask=image_mask,
-            image_targets=image_targets.astype(np.float32),
-            image_targets_mask=image_targets_mask.astype(np.int32),
-            instr_tokens=instr_tokens.astype(np.int32),
+            image_targets=image_targets.astype(self.io_dtype, copy=False),
+            image_targets_mask=image_targets_mask.astype(np.int32,
+                                                         copy=False),
+            instr_tokens=instr_tokens.astype(np.int32, copy=False),
             instr_mask=instr_mask,
-            instr_targets=instr_targets.astype(np.int32),
+            instr_targets=instr_targets.astype(np.int32, copy=False),
             segment_ids=segment_ids,
             opt_mask=np.ones((nc,), bool),
             ordering_target=np.zeros((0, self.args.max_path_length),

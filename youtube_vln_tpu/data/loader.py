@@ -14,11 +14,32 @@ distributed.py:156-180``) with:
 """
 from __future__ import annotations
 
+import hashlib
+import multiprocessing as mp
 import queue
 import threading
 from typing import Dict, Iterator, List, Optional, Sequence
 
 import numpy as np
+
+# fork-inherited dataset for worker processes (set right before Pool
+# creation; tasks pickle only (epoch, idx) pairs, never the dataset)
+_WORKER_DATASET = None
+_WORKER_SEED = 0
+
+
+def _item_seed(seed: int, epoch: int, idx: int) -> int:
+    h = hashlib.blake2s(f"{seed}:{epoch}:{idx}".encode(),
+                        digest_size=4).digest()
+    return int.from_bytes(h, "little")
+
+
+def _fetch(task):
+    epoch, idx = task
+    ds = _WORKER_DATASET
+    if hasattr(ds, "reseed"):
+        ds.reseed(_item_seed(_WORKER_SEED, epoch, idx))
+    return ds[idx]
 
 
 def shard_indices(n: int, *, shuffle: bool, seed: int, epoch: int,
@@ -87,13 +108,22 @@ class Loader:
     batch_size semantics follow the reference: the caller passes the
     *per-step* batch size (global batch // grad-accum // world already
     applied by the engine, dataset_init.py:204-208).
+
+    num_workers > 0 assembles items in a fork-based process pool (the
+    reference's DataLoader workers, num_workers=3 per GPU).  Sampling is
+    deterministic in (seed, epoch, index) regardless of worker count.
+    Sizing guidance: one worker produces ~20-40 traj/s at full geometry
+    (188 ms/sample) and a v5e chip consumes ~145 traj/s, so plan ~4-6
+    workers per chip on a real TPU-VM host; on starved hosts (this dev box
+    has a single core) leave num_workers=0 — the transport overhead cannot
+    be amortized without CPUs.
     """
 
     def __init__(self, dataset, batch_size: int, *, shuffle: bool,
                  seed: int = 1, num_shards: int = 1, shard: int = 0,
                  drop_last: Optional[bool] = None,
                  prefetch: int = 2, num_candidates: Optional[int] = None,
-                 with_instr_id: bool = False):
+                 with_instr_id: bool = False, num_workers: int = 0):
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -104,6 +134,7 @@ class Loader:
         self.prefetch = prefetch
         self.nc = num_candidates or dataset.num_candidates()
         self.with_instr_id = with_instr_id
+        self.num_workers = num_workers
         self.epoch = 0
 
     def set_epoch(self, epoch: int):
@@ -122,6 +153,11 @@ class Loader:
         try:
             buf: List[Dict] = []
             for idx in order:
+                if hasattr(self.dataset, "reseed"):
+                    # same per-item seeding as the worker-pool path, so
+                    # num_workers never changes the sampled data
+                    self.dataset.reseed(
+                        _item_seed(self.seed, self.epoch, int(idx)))
                 buf.append(self.dataset[int(idx)])
                 if len(buf) == self.batch_size:
                     q.put(collate(buf, self.nc, self.with_instr_id))
@@ -132,7 +168,7 @@ class Loader:
         except BaseException as e:  # surface worker errors to the consumer
             q.put(e)
 
-    def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
+    def _order(self) -> np.ndarray:
         order = shard_indices(len(self.dataset), shuffle=self.shuffle,
                               seed=self.seed, epoch=self.epoch,
                               num_shards=self.num_shards, shard=self.shard,
@@ -140,6 +176,13 @@ class Loader:
         if self.drop_last:
             order = order[: (len(order) // self.batch_size)
                           * self.batch_size]
+        return order
+
+    def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
+        if self.num_workers > 0:
+            yield from self._iter_multiprocess()
+            return
+        order = self._order()
         q: queue.Queue = queue.Queue(maxsize=self.prefetch)
         t = threading.Thread(target=self._produce, args=(q, order),
                              daemon=True)
@@ -151,6 +194,27 @@ class Loader:
             if isinstance(item, BaseException):
                 raise item
             yield item
+
+    def _iter_multiprocess(self) -> Iterator[Dict[str, np.ndarray]]:
+        """Fork-based worker pool.  Item sampling is deterministic in
+        (seed, epoch, index) regardless of worker count: each worker
+        reseeds the dataset RNGs per item."""
+        global _WORKER_DATASET, _WORKER_SEED
+        order = self._order()
+        ctx = mp.get_context("fork")
+        _WORKER_DATASET = self.dataset
+        _WORKER_SEED = self.seed
+        tasks = [(self.epoch, int(i)) for i in order]
+        with ctx.Pool(self.num_workers) as pool:
+            buf: List[Dict] = []
+            chunk = max(1, self.batch_size // self.num_workers)
+            for item in pool.imap(_fetch, tasks, chunksize=chunk):
+                buf.append(item)
+                if len(buf) == self.batch_size:
+                    yield collate(buf, self.nc, self.with_instr_id)
+                    buf = []
+            if buf and not self.drop_last:
+                yield collate(buf, self.nc, self.with_instr_id)
 
 
 def device_prefetch(iterator, shardings=None, depth: int = 2):

@@ -52,6 +52,10 @@ class WordPieceTokenizer:
         self.do_lower_case = do_lower_case
         self._max_chars = max_chars_per_word
         self.unk_token = "[UNK]"
+        # bracketed vocab entries ([MASK], [SEP], [unused7], ...) are atomic,
+        # matching HF's never_split handling of special tokens
+        self._special = {t for t in vocab
+                         if t.startswith("[") and t.endswith("]")}
 
     # ------------------------------------------------------------------ #
     @classmethod
@@ -121,10 +125,22 @@ class WordPieceTokenizer:
         return pieces
 
     # ------------------------------------------------------------------ #
+    def _split_on_specials(self, text: str) -> List[str]:
+        """Split text into [plain, special, plain, ...] chunks."""
+        if not self._special or "[" not in text:
+            return [text]
+        import re
+        pattern = "(" + "|".join(re.escape(t) for t in self._special) + ")"
+        return [c for c in re.split(pattern, text) if c]
+
     def tokenize(self, text: str) -> List[str]:
         out: List[str] = []
-        for word in self._basic_tokenize(text):
-            out.extend(self._wordpiece(word))
+        for chunk in self._split_on_specials(text):
+            if chunk in self._special:
+                out.append(chunk)
+                continue
+            for word in self._basic_tokenize(chunk):
+                out.extend(self._wordpiece(word))
         return out
 
     def convert_tokens_to_ids(self, tokens) -> Union[int, List[int]]:

@@ -205,7 +205,8 @@ def save_torch_checkpoint(path: str, params: Dict[str, Any], cfg: LilyConfig,
                           extra: Dict[str, Any] = None):
     """Write a ``.bin`` loadable by the reference (utils_init.py:277-295)."""
     import torch
-    sd = {k: torch.from_numpy(np.ascontiguousarray(v))
+    # copy: jax-backed arrays are non-writable views torch would warn about
+    sd = {k: torch.from_numpy(np.array(v, copy=True))
           for k, v in params_to_state_dict(params, cfg).items()}
     payload = {"model_state_dict": sd}
     if extra:

@@ -73,9 +73,13 @@ def randomize_regions_np(
     probs: np.ndarray,
     mask: np.ndarray,
     rng: np.random.Generator,
+    copy: bool = True,
 ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
-    """Returns (features, targets, targets_mask)."""
-    features = features.copy()
+    """Returns (features, targets, targets_mask).  With copy=False the
+    features buffer is masked in place (safe for freshly-assembled
+    sample-local arrays)."""
+    if copy:
+        features = features.copy()
     n_classes = probs.shape[-1]
     targets = np.full_like(probs, 1.0 / n_classes)
     targets_mask = np.zeros_like(mask)

@@ -185,7 +185,8 @@ class Engine:
                                    shuffle=True, seed=args.seed,
                                    num_shards=jax.process_count(),
                                    shard=jax.process_index(),
-                                   prefetch=args.host_prefetch)
+                                   prefetch=args.host_prefetch,
+                                   num_workers=args.num_workers)
         self.eval_loaders = {}
         for name, ds in (("test", self.test_ds),
                          ("val_seen", self.val_seen_ds),
@@ -195,7 +196,8 @@ class Engine:
                     ds, self.step_batch, shuffle=False, seed=args.seed,
                     num_shards=jax.process_count(),
                     shard=jax.process_index(), drop_last=False,
-                    prefetch=args.host_prefetch)
+                    prefetch=args.host_prefetch,
+                    num_workers=args.num_workers)
 
         # model / optimizer ---------------------------------------------- #
         params = init_lily_params(jax.random.PRNGKey(args.seed), model_cfg)

@@ -137,6 +137,8 @@ def get_parser() -> argparse.ArgumentParser:
     tpu.add_argument("--mesh_shape", nargs="*", type=int, default=[])
     tpu.add_argument("--compute_dtype", default="bfloat16", type=str,
                      choices=["bfloat16", "float32"])
+    tpu.add_argument("--io_dtype", default="float16", type=str,
+                     choices=["float16", "float32"])
     tpu.add_argument("--no_pallas", action="store_true", default=False)
     tpu.add_argument("--remat", action="store_true", default=False)
     tpu.add_argument("--profile_dir", default="", type=str)
