@@ -21,7 +21,8 @@ from youtube_vln_tpu.training import checkpoint as ckpt
 from youtube_vln_tpu.utils.cli import get_parser, args_to_run_config
 from youtube_vln_tpu.utils.entry import build_model_config
 from youtube_vln_tpu.utils.misc import (dump_config, get_logger,
-                                        get_output_dir, set_seed, NoneLogger)
+                                        get_output_dir, save_code_snapshot,
+                                        set_seed, NoneLogger)
 
 
 def main(argv=None):
@@ -54,6 +55,7 @@ def main(argv=None):
     cfg = build_model_config(args)
     if is_main:
         dump_config(save_folder, ns, cfg)
+        save_code_snapshot(save_folder)
 
     engine = Engine(args, cfg, save_folder=model_save_path,
                     run_logger=logger)

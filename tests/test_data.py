@@ -404,3 +404,87 @@ def test_io_dtype_halves_feature_bytes(ytb_env):
     assert s["image_features"].dtype == np.float16
     assert s["image_targets"].dtype == np.float16
     reader.close()
+
+
+def test_bnb_dataset_train_sample(tmp_path):
+    from youtube_vln_tpu.data.datasets import BnBDataset
+    from youtube_vln_tpu.data.features_reader import BnBFeaturesReader
+    from youtube_vln_tpu.data.tokenizer import load_tokenizer
+    paths = F.build_bnb_fixture(tmp_path / "bnb")
+    tok = load_tokenizer(paths["vocab_path"])
+    reader = BnBFeaturesReader(paths["store_path"])
+    args = RunConfig(
+        pretrain=True, pre_dataset="bnb", ranking=True, masked_vision=True,
+        masked_language=True, max_instruction_length=32, max_path_length=4,
+        max_num_boxes=5, min_path_length=3, min_captioned=2, max_captioned=4,
+        num_negatives=2, shuffler="different", negative_style="normal",
+        skeleton_path="")  # '' -> ConcatenateInstructionGenerator
+    ds = BnBDataset(args=args, caption_path=paths["caption_path"],
+                    tokenizer=tok, features_reader=reader,
+                    masked_vision=True, masked_language=True, training=True,
+                    seed=0)
+    assert len(ds) > 0 and ds.num_candidates() == 7
+    s = ds[0]
+    assert s["image_features"].shape == (7, 20, 2048)
+    assert s["instr_tokens"].shape == (7, 32)
+    # concatenated instruction starts with CLS
+    cls = tok.vocab["[CLS]"]
+    targets = s["instr_targets"]
+    raw_or_masked_first = s["instr_tokens"][:, 0]
+    assert all(t == cls or tgt == cls
+               for t, tgt in zip(raw_or_masked_first, targets[:, 0]))
+    reader.close()
+
+
+def test_bnb_out_listing(tmp_path):
+    from youtube_vln_tpu.data.datasets import BnBDataset
+    from youtube_vln_tpu.data.features_reader import BnBFeaturesReader
+    from youtube_vln_tpu.data.tokenizer import load_tokenizer
+    paths = F.build_bnb_fixture(tmp_path / "bnb2")
+    tok = load_tokenizer(paths["vocab_path"])
+    reader = BnBFeaturesReader(paths["store_path"])
+    args = RunConfig(
+        pretrain=True, pre_dataset="bnb", ranking=True,
+        max_instruction_length=32, max_path_length=4, max_num_boxes=5,
+        min_path_length=3, min_captioned=2, max_captioned=4,
+        num_negatives=2, out_listing=True, skeleton_path="")
+    ds = BnBDataset(args=args, caption_path=paths["caption_path"],
+                    tokenizer=tok, features_reader=reader,
+                    masked_vision=False, masked_language=False, training=True,
+                    seed=0)
+    s = ds[0]
+    # out-listing drops the random-replacement negatives
+    # (reference all_dataset.py:548-549): 1 + 2 + 2 candidates are real
+    assert s["opt_mask"].sum() == 5
+    reader.close()
+
+
+def test_beam_dataset_aug_positive_field(r2r_env, tmp_path):
+    """Speaker-augmented items with positive=false force target=-1
+    (reference all_dataset.py:702-706)."""
+    import json as _json
+    from youtube_vln_tpu.data.tokenizer import load_tokenizer
+    data_dir = r2r_env["data_dir"]
+    items = _json.load(open(f"{data_dir}/task/R2R_train.json"))
+    for item in items:
+        item["positive"] = [False] * 3
+    aug_dir = tmp_path / "task"
+    aug_dir.mkdir()
+    _json.dump(items, open(aug_dir / "aug+R2R_train.json", "w"))
+    import shutil
+    (tmp_path / "beamsearch").mkdir()
+    shutil.copy(f"{data_dir}/beamsearch/beams_train.json",
+                tmp_path / "beamsearch" / "aug_beams_train.json")
+
+    tok = load_tokenizer(r2r_env["vocab_path"])
+    reader = PanoFeaturesReader(r2r_env["store_path"])
+    args = _beam_args()
+    ds = BeamDataset(
+        args, str(aug_dir / "aug+R2R_train.json"),
+        str(tmp_path / "beamsearch" / "aug_beams_train.json"),
+        tok, reader, num_beams=args.num_beams_train, num_beams_strict=False,
+        training=True, masked_vision=False, masked_language=False,
+        shuffle_visual_features=False, data_dir=data_dir, seed=0)
+    targets = {int(ds[i]["ranking_target"]) for i in range(len(ds))}
+    assert targets == {-1}
+    reader.close()

@@ -145,3 +145,22 @@ def test_resume(env):
     # resumed at epoch 2 with num_epochs=2 -> no training epochs run, but
     # the entry completes and returns the best dict
     assert "ranking" in best
+
+
+def test_pretrain_bnb_entry(env):
+    """BnB pretraining path (--pre_dataset bnb, Concatenate instructions)."""
+    from conftest import load_entry
+    pretrain = load_entry('pretrain')
+    flags = [f for f in common_flags(env)]
+    # swap the ytb feature store for the bnb one, drop the skeleton
+    i = flags.index("--ytb_feature")
+    flags[i:i + 2] = []
+    i = flags.index("--skeleton_path")
+    flags[i + 1] = ""
+    best = pretrain.main(flags + [
+        "--pre_dataset", "bnb",
+        "--bnb_feature", str(Path(env["data_dir"]) / "YouTube-VLN" / "bnb"
+                             / "bnb_features.vlnstore"),
+        "--ranking", "--masked_language", "--save_name", "bnb_pre",
+        "--num_epochs", "1"])
+    assert "ranking" in best

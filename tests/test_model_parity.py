@@ -150,3 +150,39 @@ def test_state_dict_round_trip(ref):
              for k, v in jax.tree_util.tree_leaves_with_path(params2)}
     for k, v in flat1:
         np.testing.assert_array_equal(v, flat2[jax.tree_util.keystr(k)])
+
+
+@pytest.mark.parametrize("mode", ["in_batch_pairs", "fast_mode"])
+def test_encoder_modes_parity(ref, rng, mode):
+    """in_batch_pairs batch^2 expansion and FAST_MODE text broadcast
+    (reference vilbert.py:771-782)."""
+    import torch
+    torch.manual_seed(3)
+    kw = {mode: True}
+    ref_cfg = _tiny_ref_config(ref, **kw)
+    ref_model = ref.BertModel(ref_cfg).eval()
+
+    cfg = tiny_config(**kw)
+    import jax
+    params = init_lily_params(jax.random.PRNGKey(0), cfg)
+    params = jax.tree_util.tree_map(np.asarray, params)
+    params, _, _ = state_dict_to_params(ref_model.state_dict(), cfg, params)
+
+    tokens, t_mask, feats, locs, v_mask = _random_batch(rng, n=2)
+    if mode == "fast_mode":
+        # FAST_MODE: one instruction row expanded over all image rows
+        tokens, t_mask = tokens[:1], t_mask[:1]
+
+    with torch.no_grad():
+        rt, rv, rpt, rpv, _ = ref_model(
+            torch.from_numpy(tokens), torch.from_numpy(feats),
+            torch.from_numpy(locs),
+            attention_mask=torch.from_numpy(t_mask),
+            image_attention_mask=torch.from_numpy(v_mask))
+    jt, jv, jpt, jpv = bert_model(params, cfg, tokens, feats, locs,
+                                  attention_mask=t_mask,
+                                  image_attention_mask=v_mask, train=False)
+    np.testing.assert_allclose(np.asarray(jt), rt.numpy(), atol=1e-4,
+                               rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(jv), rv.numpy(), atol=1e-4,
+                               rtol=1e-4)

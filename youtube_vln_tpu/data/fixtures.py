@@ -188,6 +188,7 @@ def build_full_fixture(data_dir, *, seed: int = 0) -> Dict[str, str]:
     data_dir = Path(data_dir)
     ytb_dir = data_dir / "YouTube-VLN" / "ytb"
     ytb = build_ytb_fixture(ytb_dir, seed=seed)
+    bnb = build_bnb_fixture(data_dir / "YouTube-VLN" / "bnb", seed=seed)
     r2r = build_r2r_fixture(data_dir, seed=seed)
 
     # relocate the YTb template skeleton to the canonical task path
@@ -212,6 +213,7 @@ def build_full_fixture(data_dir, *, seed: int = 0) -> Dict[str, str]:
         vocab_path=str(data_dir / "vocab.txt"),
         config_file=str(cfg_dir / "tiny.json"),
         ytb_store=ytb["store_path"],
+        bnb_store=bnb["store_path"],
         pano_store=r2r["store_path"],
         skeleton_path=str(task_skeleton),
     )
@@ -311,3 +313,67 @@ def build_r2r_fixture(root, *, n_scans: int = 2, n_viewpoints: int = 9,
 
     return dict(data_dir=str(root), store_path=str(store_path),
                 vocab_path=str(vocab_path))
+
+
+# --------------------------------------------------------------------------- #
+# BnB (Airbnb) pretraining fixture
+# --------------------------------------------------------------------------- #
+def build_bnb_fixture(root, *, n_listings: int = 6, photos_per_listing: int = 8,
+                      seed: int = 0) -> Dict[str, str]:
+    """Caption JSON (listing/photo records with per-photo captions) +
+    feature store with the BnB key convention '{listing}-{photo}'."""
+    root = Path(root)
+    root.mkdir(parents=True, exist_ok=True)
+    rng = random.Random(seed)
+
+    vocab_path = root / "vocab.txt"
+    write_fixture_vocab(vocab_path)
+
+    captions = []
+    keys = []
+    photo_id = 0
+    for l in range(n_listings):
+        listing = 1000 + l
+        for p in range(photos_per_listing):
+            captioned = p % 2 == 0
+            captions.append({
+                "listing_id": listing,
+                "photo_id": photo_id,
+                "instructions": [
+                    f"{rng.choice(ROOMS)} with {rng.choice(OBJECTS)}"
+                    if captioned else ""],
+            })
+            keys.append(f"{listing}-{photo_id}")
+            photo_id += 1
+    caption_path = root / "bnb_train.json"
+    with open(caption_path, "w") as fh:
+        json.dump(captions, fh)
+
+    store_path = root / "bnb_features.vlnstore"
+    write_store(store_path, keys, seed=seed)
+
+    test_caption_path = root / "bnb_test.json"
+    with open(test_caption_path, "w") as fh:
+        json.dump(captions, fh)
+
+    # frozen ranking testset through the live samplers
+    from .datasets import BnBDataset
+    from .features_reader import BnBFeaturesReader
+    from .tokenizer import WordPieceTokenizer
+    tok = WordPieceTokenizer.from_vocab_file(vocab_path)
+    args = _default_args(pre_dataset="bnb", skeleton_path="")
+    reader = BnBFeaturesReader(store_path)
+    ds = BnBDataset(args=args, caption_path=caption_path, tokenizer=tok,
+                    features_reader=reader, masked_vision=False,
+                    masked_language=False, training=True, seed=seed)
+    testset = {}
+    for lid in ds.listing_ids:
+        pos, nc_, ni_, nr_, ol = ds.pick_photo_ids(lid)
+        testset[lid] = [pos, nc_, ni_, nr_, ol]
+    testset_path = root / "testset.json"
+    with open(testset_path, "w") as fh:
+        json.dump(testset, fh)
+    reader.close()
+    return dict(caption_path=str(caption_path), store_path=str(store_path),
+                test_caption_path=str(test_caption_path),
+                testset_path=str(testset_path), vocab_path=str(vocab_path))

@@ -62,6 +62,16 @@ def compute_distances(graph: nx.Graph) -> Dict[str, Dict[str, float]]:
             in nx.all_pairs_dijkstra_path_length(graph)}
 
 
+def get_viewpoints(scan_list, graphs, features_reader) -> Dict[str, set]:
+    """Viewpoints present in both the nav graph and the feature reader
+    (reference common.py:302-309)."""
+    out = {}
+    for scan in scan_list:
+        graph_vps = set(graphs[scan].nodes())
+        out[scan] = features_reader.viewpoints[scan] & graph_vps
+    return out
+
+
 def get_headings(g: nx.Graph, path: Sequence[str],
                  first_heading: float) -> List[float]:
     """Heading at each viewpoint: first is given, the rest point at the next

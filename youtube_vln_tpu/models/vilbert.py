@@ -268,6 +268,21 @@ def encoder(params, cfg: LilyConfig, t_x, v_x, t_mask, v_mask, *,
         for idx in range(t_start, t_end):
             t_x = t_layer(idx, t_x)
 
+        if count == 0 and cfg.in_batch_pairs:
+            # batch^2 expansion: every text paired with every image
+            # (reference vilbert.py:771-778)
+            b = t_x.shape[0]
+            v_x = jnp.tile(v_x, (b, 1, 1))
+            v_mask = jnp.tile(v_mask, (b, 1, 1, 1))
+            t_x = jnp.repeat(t_x, b, axis=0)
+            t_mask = jnp.repeat(t_mask, b, axis=0)
+        if count == 0 and cfg.fast_mode:
+            # broadcast one instruction over all image rows
+            # (reference vilbert.py:780-782)
+            n = v_x.shape[0]
+            t_x = jnp.broadcast_to(t_x, (n,) + t_x.shape[1:])
+            t_mask = jnp.broadcast_to(t_mask, (n,) + t_mask.shape[1:])
+
         if cfg.with_coattention:
             r = rngs[rng_i]; rng_i += 1
             fn = _maybe_remat(

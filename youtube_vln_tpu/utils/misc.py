@@ -75,6 +75,35 @@ def git_revision() -> Optional[str]:
         return None
 
 
+def save_code_snapshot(save_folder: Path,
+                       ignore=("data", "result", "results", ".git",
+                               "__pycache__", ".vscode", "youtube_data")
+                       ) -> Optional[Path]:
+    """Zip the source tree next to the run plus a rerun script (reference
+    exp_saver, misc.py:96-113)."""
+    import zipfile
+    from shlex import quote
+
+    out_dir = Path(save_folder) / "sh_n_codes"
+    out_dir.mkdir(parents=True, exist_ok=True)
+    zip_path = out_dir / "code.zip"
+    root = Path.cwd()
+    try:
+        with zipfile.ZipFile(zip_path, "w", zipfile.ZIP_DEFLATED) as zf:
+            for path in root.rglob("*.py"):
+                rel = path.relative_to(root)
+                if any(part in ignore for part in rel.parts):
+                    continue
+                zf.write(path, rel)
+        with open(out_dir / "rerun.sh", "w") as f:
+            f.write(f"cd {quote(str(root))}\n")
+            f.write(sys.executable + " "
+                    + " ".join(quote(a) for a in sys.argv) + "\n")
+        return zip_path
+    except OSError:
+        return None
+
+
 def dump_config(save_folder: Path, args, model_config=None) -> None:
     """config.txt dump (reference pretrain.py:57-64) + git revision."""
     save_folder.mkdir(parents=True, exist_ok=True)
