@@ -18,6 +18,7 @@ from youtube_vln_tpu.ops.attention import (pallas_attention_core,
 @pytest.mark.parametrize("b,h,sq,skv,d", [
     (2, 4, 64, 64, 64),
     (1, 2, 128, 64, 128),   # cross-attention shape (text->vision etc.)
+    (1, 2, 128, 60, 128),   # non-aligned kv length (vision->text)
 ])
 def test_fused_matches_reference(rng, b, h, sq, skv, d):
     q = jnp.asarray(rng.normal(size=(b, h, sq, d)), jnp.float32)
@@ -69,6 +70,6 @@ def test_mask_fully_blocks_keys(rng):
 def test_dispatch_heuristic():
     assert use_pallas_for(808, 808, 128)       # vision self-attention
     assert use_pallas_for(60, 808, 128)        # text->vision cross
-    assert not use_pallas_for(808, 60, 128)    # vision->text: tiny kv
+    assert use_pallas_for(808, 60, 128)        # vision->text cross
     assert not use_pallas_for(60, 60, 64)      # tiny text self-attention
     assert not use_pallas_for(808, 808, 96)    # unsupported head dim

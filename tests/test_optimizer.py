@@ -93,3 +93,22 @@ def test_no_decay_mask_structure():
     assert mask["text_layers"][0]["attn"]["query"]["b"] is True
     assert mask["text_layers"][0]["attn"]["query"]["w"] is False
     assert mask["cls"]["decoder_bias"] is True
+
+
+def test_orbax_round_trip(tmp_path):
+    import jax
+    import numpy as np
+    from youtube_vln_tpu.config import tiny_config
+    from youtube_vln_tpu.models import init_lily_params
+    from youtube_vln_tpu.training import checkpoint as ckpt
+
+    cfg = tiny_config()
+    params = init_lily_params(jax.random.PRNGKey(0), cfg)
+    path = ckpt.save_orbax(tmp_path / "ck", params, step=7, epoch=2)
+    template = {"params": jax.tree_util.tree_map(np.zeros_like, params),
+                "step": 0, "epoch": 0}
+    restored = ckpt.load_orbax(path, template)
+    assert restored["step"] == 7 and restored["epoch"] == 2
+    for a, b in zip(jax.tree_util.tree_leaves(params),
+                    jax.tree_util.tree_leaves(restored["params"])):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

@@ -7,12 +7,12 @@ beam-0 start viewpoint when the argmax lands on a padded row.
 from __future__ import annotations
 
 import json
-from typing import Dict, List, Sequence, Tuple
+from typing import List, Tuple
 
 import jax
 import numpy as np
 
-from ..config import LilyConfig, RunConfig
+from ..config import LilyConfig
 from ..data.loader import Loader, device_prefetch
 from ..models import lily_forward
 from ..parallel.train_step import _flatten_candidates

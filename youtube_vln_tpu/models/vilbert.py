@@ -21,7 +21,6 @@ matched against the reference implementation:
 """
 from __future__ import annotations
 
-import math
 from typing import Any, Dict, Optional
 
 import jax

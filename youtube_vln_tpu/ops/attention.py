@@ -227,9 +227,10 @@ def pallas_attention_core(q, k, v, mask, *, dropout_rate: float = 0.0,
 
 
 def use_pallas_for(s_q: int, s_kv: int, d: int) -> bool:
-    """Heuristic: the fused kernel pays off on the long vision/cross
-    sequences; tiny text-only attention stays on the XLA path."""
-    return s_kv * s_q >= 64 * 64 and d in (64, 128) and s_kv >= 64
+    """Heuristic: the fused kernel pays off whenever the score matrix is
+    big enough to matter (vision self-attention and both cross directions);
+    only the tiny text self-attention stays on the XLA path."""
+    return s_q * s_kv >= 4096 and d in (64, 128)
 
 
 def select_attention_fn(cfg, platform: Optional[str] = None):

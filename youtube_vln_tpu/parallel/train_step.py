@@ -24,7 +24,6 @@ Batch layout (produced by data/loader.py), leading dim sharded over "data":
 """
 from __future__ import annotations
 
-import functools
 from typing import Any, Dict, NamedTuple, Tuple
 
 import jax
@@ -114,8 +113,6 @@ def build_train_step(cfg: LilyConfig, args: RunConfig, tx):
                 return (g_acc, m_acc), None
 
             rngs = jax.random.split(rng, accum)
-            zeros_like_tree = lambda t: jax.tree_util.tree_map(
-                jnp.zeros_like, t)
             mb0 = jax.tree_util.tree_map(lambda x: x[0], batch)
             _, metrics0, grads0 = one_microbatch(state.params, mb0, rngs[0])
             rest = jax.tree_util.tree_map(lambda x: x[1:], batch)

@@ -12,7 +12,7 @@ from __future__ import annotations
 
 import json
 from pathlib import Path
-from typing import Callable, Dict, Iterable, List, Sequence
+from typing import Dict, List, Sequence
 
 import numpy as np
 

@@ -92,3 +92,32 @@ def delete_checkpoint(save_dir, save_name) -> None:
     path = checkpoint_path(save_dir, save_name)
     if os.path.exists(path):
         os.unlink(path)
+
+
+# --------------------------------------------------------------------------- #
+# Orbax (sharded, multi-host-safe) checkpoints
+# --------------------------------------------------------------------------- #
+def save_orbax(directory, params, opt_state=None, step: int = 0,
+               epoch: int = 0) -> str:
+    """Sharded async-safe checkpoint for multi-host runs; every host writes
+    its own shards (no gather to host 0, unlike the .bin path).  Use the
+    .bin path for reference interop, this one for production scale."""
+    import orbax.checkpoint as ocp
+
+    directory = Path(directory).resolve()
+    ckptr = ocp.StandardCheckpointer()
+    payload = {"params": params, "step": step, "epoch": epoch}
+    if opt_state is not None:
+        payload["opt_state"] = opt_state
+    ckptr.save(directory, payload, force=True)
+    ckptr.wait_until_finished()
+    return str(directory)
+
+
+def load_orbax(directory, template) -> Dict[str, Any]:
+    """``template`` is a matching pytree of arrays (shapes/dtypes/shardings
+    to restore into)."""
+    import orbax.checkpoint as ocp
+
+    ckptr = ocp.StandardCheckpointer()
+    return ckptr.restore(Path(directory).resolve(), template)
