@@ -153,6 +153,9 @@ def self_attention_block(x, mask, p: Params, num_heads: int, *,
     Mirrors reference BertSelfAttention+BertSelfOutput
     (vilbert/vilbert.py:258-337)."""
     rngs = jax.random.split(rng, 2) if rng is not None else (None, None)
+    # note: a fused QKV projection was benchmarked and is performance-neutral
+    # here (XLA already pipelines the three dots); separate projections keep
+    # the TP sharding rules and checkpoint mapping simple
     q = split_heads(linear(x, p["query"]), num_heads)
     k = split_heads(linear(x, p["key"]), num_heads)
     v = split_heads(linear(x, p["value"]), num_heads)
