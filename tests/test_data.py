@@ -488,3 +488,41 @@ def test_beam_dataset_aug_positive_field(r2r_env, tmp_path):
     targets = {int(ds[i]["ranking_target"]) for i in range(len(ds))}
     assert targets == {-1}
     reader.close()
+
+
+def test_sparse_vision_targets_end_to_end(ytb_env):
+    """Sparse transport through dataset -> loader -> train step."""
+    import jax
+    from youtube_vln_tpu.data.tokenizer import load_tokenizer
+    from youtube_vln_tpu.config import tiny_config
+    from youtube_vln_tpu.models import init_lily_params
+    from youtube_vln_tpu.parallel import train_step as ts
+
+    tok = load_tokenizer(ytb_env["vocab_path"])
+    reader = YTbFeaturesReader(ytb_env["store_path"])
+    args = _ytb_args(skeleton_path=ytb_env["skeleton_path"],
+                     sparse_vision_targets=True, traj_judge=True,
+                     learning_rate=1e-3)
+    ds = YTbDataset(args=args, caption_path=ytb_env["caption_path"],
+                    tokenizer=tok, features_reader=reader,
+                    masked_vision=True, masked_language=True, training=True,
+                    seed=0)
+    s = ds[0]
+    assert "image_targets_idx" in s
+    m_cap = s["image_targets_idx"].shape[-1]
+    assert s["image_targets"].shape == (7, m_cap, 1601)
+
+    loader = Loader(ds, batch_size=2, shuffle=True, seed=1)
+    batch = next(iter(loader))
+    assert batch["image_targets_idx"].shape[:2] == (2, 7)
+
+    cfg = tiny_config(vocab_size=256, v_feature_size=2048, v_target_size=1601,
+                      ranking=True, traj_judge=True, masked_vision=True,
+                      masked_language=True)
+    params = init_lily_params(jax.random.PRNGKey(0), cfg)
+    state, tx, _ = ts.create_train_state(params, args, 4)
+    step = jax.jit(ts.build_train_step(cfg, args, tx))
+    state, metrics = step(state, batch, jax.random.PRNGKey(0))
+    assert np.isfinite(float(metrics["loss/vision"]))
+    assert float(metrics["loss/vision"]) > 0
+    reader.close()

@@ -161,3 +161,32 @@ def test_traj_judge(rng, pretrain, ranking, num_neg, nc):
     loss, correct = L.traj_judge_loss(dense, opt, np.asarray(target_row))
     assert float(loss) == pytest.approx(ref_loss, rel=1e-4)
     assert float(correct) == pytest.approx(ref_correct, rel=1e-5)
+
+
+def test_sparse_vision_loss_equals_dense(rng):
+    """The sparse masked-region encoding must reproduce the dense KL loss
+    exactly (same RNG draws -> same masking)."""
+    import numpy as np
+    from youtube_vln_tpu.ops.masking import (randomize_regions_np,
+                                             randomize_regions_sparse_np)
+    from youtube_vln_tpu.training.losses import (masked_vision_loss,
+                                                 masked_vision_loss_sparse)
+
+    n, s, c = 6, 40, 23
+    feats = rng.normal(size=(n, s, 8)).astype(np.float32)
+    probs = rng.random((n, s, c)).astype(np.float32)
+    probs /= probs.sum(-1, keepdims=True)
+    mask = np.ones((n, s), np.int32)
+    pred = rng.normal(size=(n, s, c)).astype(np.float32)
+    row_mask = np.array([1, 1, 1, 1, 0, 0], np.float32)
+
+    f1, targets, tmask1 = randomize_regions_np(
+        feats, probs, mask, np.random.default_rng(3))
+    f2, idx, rows, tmask2 = randomize_regions_sparse_np(
+        feats, probs, mask, np.random.default_rng(3))
+    np.testing.assert_array_equal(f1, f2)          # same feature zeroing
+    np.testing.assert_array_equal(tmask1, tmask2)  # same mask flags
+
+    dense = float(masked_vision_loss(pred, targets, tmask1, row_mask))
+    sparse = float(masked_vision_loss_sparse(pred, idx, rows, row_mask))
+    assert sparse == pytest.approx(dense, rel=1e-5)

@@ -238,6 +238,9 @@ class RunConfig:
     compute_dtype: str = "bfloat16"
     io_dtype: str = "float16"   # host->device dtype for features/targets;
                                 # halves pipe/H2D traffic, model upcasts
+    sparse_vision_targets: bool = False  # ship only masked-region target
+                                         # rows (~10x smaller) and compute
+                                         # the KL on gathered rows in-graph
     use_pallas_attention: bool = True
     remat: bool = False
     profile_dir: str = ""

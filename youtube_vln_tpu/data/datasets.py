@@ -33,7 +33,9 @@ from . import sampling as S
 from . import instructions as I
 from .nav_graph import get_headings, load_distances, load_nav_graphs
 from ..ops.masking import (
+    max_masked_regions,
     randomize_regions_np,
+    randomize_regions_sparse_np,
     randomize_tokens_np,
     unmasked_region_targets,
 )
@@ -120,6 +122,8 @@ class PretrainDataset:
         self.assembler = _PathFeatureAssembler(args.max_path_length,
                                                args.max_num_boxes)
         self.io_dtype = np.dtype(getattr(args, "io_dtype", "float32"))
+        self.sparse_vision_targets = getattr(args, "sparse_vision_targets",
+                                             False)
 
         captions = self.load_captions(caption_path)
         self.caption_by_key = {self.caption_key(c): c for c in captions}
@@ -228,10 +232,25 @@ class PretrainDataset:
         instr_mask = (instr_tokens > 0).astype(np.int32)
         segment_ids = np.zeros_like(instr_tokens)
 
-        if self.masked_vision:
+        image_targets_idx = None
+        if self.masked_vision and self.sparse_vision_targets:
+            (image_features, image_targets_idx, image_targets,
+             image_targets_mask) = randomize_regions_sparse_np(
+                image_features, image_probs, image_mask, self.np_rng,
+                copy=False)
+        elif self.masked_vision:
             image_features, image_targets, image_targets_mask = \
                 randomize_regions_np(image_features, image_probs, image_mask,
                                      self.np_rng, copy=False)
+        elif self.sparse_vision_targets:
+            s_v = image_mask.shape[-1]
+            m_cap = max_masked_regions(s_v)
+            image_targets_idx = np.full(image_mask.shape[:-1] + (m_cap,),
+                                        s_v, np.int32)
+            image_targets = np.zeros(
+                image_targets_idx.shape + (image_probs.shape[-1],),
+                image_probs.dtype)
+            image_targets_mask = np.zeros_like(image_mask)
         else:
             image_targets, image_targets_mask = unmasked_region_targets(
                 image_probs, image_mask)
@@ -266,6 +285,8 @@ class PretrainDataset:
             image_locations=image_locations,
             image_mask=image_mask,
             image_targets=image_targets.astype(self.io_dtype, copy=False),
+            **({"image_targets_idx": image_targets_idx}
+               if image_targets_idx is not None else {}),
             image_targets_mask=image_targets_mask.astype(np.int32,
                                                          copy=False),
             instr_tokens=instr_tokens.astype(np.int32, copy=False),
@@ -432,6 +453,8 @@ class BeamDataset:
         self.assembler = _PathFeatureAssembler(args.max_path_length,
                                                args.max_num_boxes)
         self.io_dtype = np.dtype(getattr(args, "io_dtype", "float32"))
+        self.sparse_vision_targets = getattr(args, "sparse_vision_targets",
+                                             False)
         if shuffler not in ("different", "nonadj"):
             raise ValueError(f"Unexpected shuffling mode ({shuffler})")
         self.shuffler = S.load_shuffler(shuffler)
@@ -651,10 +674,25 @@ class BeamDataset:
         instr_mask = (instr_tokens > 0).astype(np.int32)
         segment_ids = np.zeros_like(instr_tokens)
 
-        if self.masked_vision:
+        image_targets_idx = None
+        if self.masked_vision and self.sparse_vision_targets:
+            (image_features, image_targets_idx, image_targets,
+             image_targets_mask) = randomize_regions_sparse_np(
+                image_features, image_probs, image_mask, self.np_rng,
+                copy=False)
+        elif self.masked_vision:
             image_features, image_targets, image_targets_mask = \
                 randomize_regions_np(image_features, image_probs, image_mask,
                                      self.np_rng, copy=False)
+        elif self.sparse_vision_targets:
+            s_v = image_mask.shape[-1]
+            m_cap = max_masked_regions(s_v)
+            image_targets_idx = np.full(image_mask.shape[:-1] + (m_cap,),
+                                        s_v, np.int32)
+            image_targets = np.zeros(
+                image_targets_idx.shape + (image_probs.shape[-1],),
+                image_probs.dtype)
+            image_targets_mask = np.zeros_like(image_mask)
         else:
             image_targets, image_targets_mask = unmasked_region_targets(
                 image_probs, image_mask)
@@ -678,6 +716,8 @@ class BeamDataset:
             image_locations=image_locations,
             image_mask=image_mask,
             image_targets=image_targets.astype(self.io_dtype, copy=False),
+            **({"image_targets_idx": image_targets_idx}
+               if image_targets_idx is not None else {}),
             image_targets_mask=image_targets_mask.astype(np.int32,
                                                          copy=False),
             instr_tokens=instr_tokens.astype(np.int32, copy=False),

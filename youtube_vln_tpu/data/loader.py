@@ -89,14 +89,15 @@ def pad_candidates(sample: Dict[str, np.ndarray], nc: int
 
 BATCH_KEYS = ("ranking_target", "image_features", "image_locations",
               "image_mask", "image_targets", "image_targets_mask",
-              "instr_tokens", "instr_mask", "instr_targets", "segment_ids",
-              "opt_mask")
+              "image_targets_idx", "instr_tokens", "instr_mask",
+              "instr_targets", "segment_ids", "opt_mask")
 
 
 def collate(samples: Sequence[Dict[str, np.ndarray]], nc: int,
             with_instr_id: bool = False) -> Dict[str, np.ndarray]:
     padded = [pad_candidates(s, nc) for s in samples]
-    batch = {k: np.stack([p[k] for p in padded]) for k in BATCH_KEYS}
+    keys = [k for k in BATCH_KEYS if k in padded[0]]
+    batch = {k: np.stack([p[k] for p in padded]) for k in keys}
     if with_instr_id:
         batch["instr_id"] = np.stack([p["instr_id"] for p in padded])
     return batch

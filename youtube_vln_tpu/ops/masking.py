@@ -125,3 +125,55 @@ def randomize_regions_jax(key, features, probs, mask):
     targets = jnp.where(masked[..., None], probs, 1.0 / n_classes)
     features = jnp.where((p >= ZERO_THRESH)[..., None], 0.0, features)
     return features, targets, masked.astype(mask.dtype)
+
+
+def max_masked_regions(num_regions: int) -> int:
+    """Static upper bound for the sparse encoding: the ladder masks 15% in
+    expectation; 25% (rounded up to a multiple of 8) is >8 sigma of
+    headroom at S_v=808."""
+    m = int(np.ceil(num_regions * 0.25))
+    return (m + 7) // 8 * 8
+
+
+def randomize_regions_sparse_np(
+    features: np.ndarray,
+    probs: np.ndarray,
+    mask: np.ndarray,
+    rng: np.random.Generator,
+    copy: bool = True,
+):
+    """MVM masking with a sparse target encoding.
+
+    Same ladder as randomize_regions_np, but instead of a dense
+    [N, S, C] target tensor returns:
+      idx  [N, M] int32 — masked region indices, padded with S (sentinel)
+      rows [N, M, C]    — the target distributions for those regions
+      targets_mask [N, S] — dense flag mask (same as the dense variant)
+    The KL loss only reads masked regions (unmasked contribute exactly 0 in
+    the reference formula), so the dense uniform part is never needed.
+    """
+    if copy:
+        features = features.copy()
+    n, s = mask.shape
+    m_cap = max_masked_regions(s)
+    targets_mask = np.zeros_like(mask)
+
+    p = rng.random(mask.shape) * (mask > 0)
+    sel = p >= MASK_THRESH
+    # extremely unlikely overflow guard: drop excess masked regions
+    for i in range(n):
+        extra = sel[i].sum() - m_cap
+        if extra > 0:
+            on = np.nonzero(sel[i])[0]
+            sel[i, on[m_cap:]] = False
+            p[i, on[m_cap:]] = 0.0
+    targets_mask[sel] = 1
+    features[p >= ZERO_THRESH] = 0
+
+    idx = np.full((n, m_cap), s, np.int32)
+    rows = np.zeros((n, m_cap, probs.shape[-1]), probs.dtype)
+    for i in range(n):
+        on = np.nonzero(sel[i])[0]
+        idx[i, : len(on)] = on
+        rows[i, : len(on)] = probs[i, on]
+    return features, idx, rows, targets_mask

@@ -79,6 +79,8 @@ def loss_fn(params, cfg: LilyConfig, batch, tasks, rng, train: bool):
                       image_targets=_merge01(batch["image_targets"]),
                       image_targets_mask=_merge01(batch["image_targets_mask"]),
                       instr_targets=_merge01(batch["instr_targets"]))
+    if "image_targets_idx" in batch:
+        loss_batch["image_targets_idx"] = _merge01(batch["image_targets_idx"])
     return losses_lib.compute_task_losses(outputs, loss_batch, tasks)
 
 

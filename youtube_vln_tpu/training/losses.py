@@ -172,8 +172,14 @@ def compute_task_losses(outputs: Dict[str, jnp.ndarray], batch: Dict,
     total = jnp.zeros((), jnp.float32)
 
     if cfg_tasks["masked_vision"]:
-        loss = masked_vision_loss(outputs["vision"], batch["image_targets"],
-                                  batch["image_targets_mask"], row_mask)
+        if "image_targets_idx" in batch:
+            loss = masked_vision_loss_sparse(
+                outputs["vision"], batch["image_targets_idx"],
+                batch["image_targets"], row_mask)
+        else:
+            loss = masked_vision_loss(outputs["vision"],
+                                      batch["image_targets"],
+                                      batch["image_targets_mask"], row_mask)
         metrics["loss/vision"] = loss
         total = total + loss
     if cfg_tasks["masked_language"]:
@@ -223,3 +229,25 @@ def compute_task_losses(outputs: Dict[str, jnp.ndarray], batch: Dict,
         (v for k, v in metrics.items() if k.startswith("loss/")),
         jnp.zeros((), jnp.float32))
     return total, metrics
+
+
+def masked_vision_loss_sparse(predictions, target_idx, target_rows,
+                              row_mask):
+    """Sparse form of masked_vision_loss: only masked regions carry targets.
+
+    predictions: [N, S_v, C]; target_idx: [N, M] (S_v = padding sentinel);
+    target_rows: [N, M, C]; row_mask: [N].  Equals the dense loss exactly
+    because unmasked regions contribute 0 there (weight mask), so only the
+    gathered rows matter.  log_softmax runs on M<<S_v rows.
+    """
+    n, s_v, c = predictions.shape
+    valid = (target_idx < s_v) & (row_mask[:, None] > 0)
+    safe_idx = jnp.where(valid, target_idx, 0)
+    pred_rows = jnp.take_along_axis(
+        predictions.astype(jnp.float32), safe_idx[..., None], axis=1)
+    logp = jax.nn.log_softmax(pred_rows, axis=-1)
+    t = target_rows.astype(jnp.float32)
+    kl = _xlogy(t, t) - t * logp
+    w = valid.astype(jnp.float32)[..., None]
+    numel = jnp.maximum(1.0, jnp.sum(w[..., 0]))
+    return jnp.sum(kl * w) / numel

@@ -139,6 +139,8 @@ def get_parser() -> argparse.ArgumentParser:
                      choices=["bfloat16", "float32"])
     tpu.add_argument("--io_dtype", default="float16", type=str,
                      choices=["float16", "float32"])
+    tpu.add_argument("--sparse_vision_targets", action="store_true",
+                     default=False)
     tpu.add_argument("--no_pallas", action="store_true", default=False)
     tpu.add_argument("--remat", action="store_true", default=False)
     tpu.add_argument("--profile_dir", default="", type=str)
