@@ -42,7 +42,8 @@ def main():
                      learning_rate=2e-5, num_epochs=1,
                      gradient_accumulation_steps=1)
 
-    bs, nc, s_t, s_v = 8, 7, 60, 808
+    n_dev = len(jax.devices())
+    bs, nc, s_t, s_v = 8 * n_dev, 7, 60, 808  # per-chip batch 8 (recipe)
     rng = np.random.default_rng(0)
     batch = {
         "instr_tokens": rng.integers(1, cfg.vocab_size, size=(bs, nc, s_t)),
@@ -63,10 +64,22 @@ def main():
     batch["image_locations"][..., 11] = np.repeat(np.arange(8), 101)[None, None, :]
 
     params = init_lily_params(jax.random.PRNGKey(0), cfg)
+    if n_dev > 1:
+        # shard the batch over the data axis; params replicate; XLA inserts
+        # the gradient all-reduce over ICI
+        from youtube_vln_tpu.parallel.mesh import (make_mesh,
+                                                   param_shardings,
+                                                   shard_params)
+        mesh = make_mesh((n_dev, 1))
+        params = shard_params(params, param_shardings(mesh, params, cfg))
     state, tx, _ = ts.create_train_state(params, args, steps_per_epoch=1000)
     step = jax.jit(ts.build_train_step(cfg, args, tx), donate_argnums=(0,))
 
-    dbatch = jax.device_put(batch)
+    if n_dev > 1:
+        bshard = ts.make_batch_shardings(mesh, batch)
+        dbatch = jax.tree_util.tree_map(jax.device_put, batch, bshard)
+    else:
+        dbatch = jax.device_put(batch)
     rng_key = jax.random.PRNGKey(0)
 
     # Warmup: compile + flush the dispatch queue.  On the axon remote
@@ -87,7 +100,7 @@ def main():
     final_loss = losses[-1]
     dt = (time.perf_counter() - t0) / n_steps
 
-    traj_per_s = bs * nc / dt
+    traj_per_s = bs * nc / dt / n_dev  # per-chip
     print(json.dumps({
         "metric": "pretrain_traj_per_s_per_chip",
         "value": round(traj_per_s, 2),
@@ -97,6 +110,7 @@ def main():
             "step_ms": round(dt * 1000, 1),
             "batch": [bs, nc, s_t, s_v],
             "device": str(jax.devices()[0]),
+            "devices": n_dev,
             "loss": final_loss,
         },
     }))

@@ -31,6 +31,13 @@ sys.path.insert(0, str(REPO_ROOT))
 
 REFERENCE_ROOT = Path("/root/reference")
 
+# build the native store reader if missing (it is a build artifact,
+# not committed)
+_native = REPO_ROOT / "native" / "libvlnstore.so"
+if not _native.exists():
+    import subprocess
+    subprocess.run(["make", "-C", str(REPO_ROOT / "native")], check=False)
+
 
 def import_reference_vilbert():
     """Import the reference PyTorch model (read-only) for parity checks.

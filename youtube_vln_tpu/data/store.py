@@ -117,7 +117,12 @@ class StoreWriter:
 
 
 def _load_native() -> Optional[ctypes.CDLL]:
-    lib = Path(__file__).resolve().parent.parent.parent / "native" / "libvlnstore.so"
+    native_dir = Path(__file__).resolve().parent.parent.parent / "native"
+    lib = native_dir / "libvlnstore.so"
+    if not lib.exists() and (native_dir / "Makefile").exists():
+        import subprocess
+        subprocess.run(["make", "-C", str(native_dir)], check=False,
+                       capture_output=True)
     if not lib.exists():
         return None
     try:
