@@ -22,10 +22,12 @@ from typing import Dict, Iterator, List, Optional, Sequence
 
 import numpy as np
 
-# fork-inherited dataset for worker processes (set right before Pool
+# fork-inherited state for worker processes (set right before Pool
 # creation; tasks pickle only (epoch, idx) pairs, never the dataset)
 _WORKER_DATASET = None
 _WORKER_SEED = 0
+_WORKER_SLABS = None      # list of multiprocessing.shared_memory.SharedMemory
+_WORKER_FREE_Q = None     # queue of free slab indices
 
 
 def _item_seed(seed: int, epoch: int, idx: int) -> int:
@@ -34,12 +36,59 @@ def _item_seed(seed: int, epoch: int, idx: int) -> int:
     return int.from_bytes(h, "little")
 
 
-def _fetch(task):
-    epoch, idx = task
+def _get_item(epoch, idx):
     ds = _WORKER_DATASET
     if hasattr(ds, "reseed"):
         ds.reseed(_item_seed(_WORKER_SEED, epoch, idx))
     return ds[idx]
+
+
+def _fetch(task):
+    epoch, idx = task
+    return _get_item(epoch, idx)
+
+
+def _pack_into_slab(item, slab) -> Optional[list]:
+    """Write all arrays into the shared slab; returns the schema
+    [(key, dtype, shape, offset), ...] or None if the slab is too small."""
+    total = sum(np.asarray(v).nbytes for v in item.values())
+    if total > slab.size:
+        return None
+    schema = []
+    offset = 0
+    buf = slab.buf
+    for k, v in item.items():
+        a = np.asarray(v)
+        shape = a.shape  # before ascontiguousarray, which promotes 0-d to 1-d
+        a = np.ascontiguousarray(a)
+        n = a.nbytes
+        buf[offset:offset + n] = a.view(np.uint8).reshape(-1).data
+        schema.append((k, a.dtype.str, shape, offset))
+        offset += n
+    return schema
+
+
+def _fetch_shm(task):
+    """Worker: build the item, write it into a free shared-memory slab and
+    return only (slot, schema).  Falls back to pickling the item when it
+    exceeds the slab size."""
+    epoch, idx = task
+    item = _get_item(epoch, idx)
+    slot = _WORKER_FREE_Q.get()
+    schema = _pack_into_slab(item, _WORKER_SLABS[slot])
+    if schema is None:
+        _WORKER_FREE_Q.put(slot)
+        return ("pickle", item)
+    return ("shm", slot, schema)
+
+
+def _unpack_from_slab(slab, schema):
+    out = {}
+    for k, dtype, shape, offset in schema:
+        n = int(np.prod(shape)) * np.dtype(dtype).itemsize
+        out[k] = np.frombuffer(slab.buf, dtype=dtype, count=int(np.prod(shape)),
+                               offset=offset).reshape(shape)
+    return out
 
 
 def shard_indices(n: int, *, shuffle: bool, seed: int, epoch: int,
@@ -124,7 +173,8 @@ class Loader:
                  seed: int = 1, num_shards: int = 1, shard: int = 0,
                  drop_last: Optional[bool] = None,
                  prefetch: int = 2, num_candidates: Optional[int] = None,
-                 with_instr_id: bool = False, num_workers: int = 0):
+                 with_instr_id: bool = False, num_workers: int = 0,
+                 use_shared_memory: bool = True):
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -136,6 +186,7 @@ class Loader:
         self.nc = num_candidates or dataset.num_candidates()
         self.with_instr_id = with_instr_id
         self.num_workers = num_workers
+        self.use_shared_memory = use_shared_memory
         self.epoch = 0
 
     def set_epoch(self, epoch: int):
@@ -199,23 +250,76 @@ class Loader:
     def _iter_multiprocess(self) -> Iterator[Dict[str, np.ndarray]]:
         """Fork-based worker pool.  Item sampling is deterministic in
         (seed, epoch, index) regardless of worker count: each worker
-        reseeds the dataset RNGs per item."""
-        global _WORKER_DATASET, _WORKER_SEED
+        reseeds the dataset RNGs per item.
+
+        Transport: with use_shared_memory (default) workers write arrays
+        into preallocated SharedMemory slabs and send only (slot, schema)
+        through the result pipe — no pickling of the ~40-90 MB items.
+        Slots are recycled after collation copies the views."""
+        global _WORKER_DATASET, _WORKER_SEED, _WORKER_SLABS, _WORKER_FREE_Q
         order = self._order()
         ctx = mp.get_context("fork")
         _WORKER_DATASET = self.dataset
         _WORKER_SEED = self.seed
         tasks = [(self.epoch, int(i)) for i in order]
-        with ctx.Pool(self.num_workers) as pool:
-            buf: List[Dict] = []
-            chunk = max(1, self.batch_size // self.num_workers)
-            for item in pool.imap(_fetch, tasks, chunksize=chunk):
-                buf.append(item)
-                if len(buf) == self.batch_size:
-                    yield collate(buf, self.nc, self.with_instr_id)
+        chunk = max(1, self.batch_size // self.num_workers)
+
+        slabs = []
+        if self.use_shared_memory and tasks:
+            from multiprocessing import shared_memory
+            probe = _get_item(*tasks[0])
+            slab_bytes = int(sum(np.asarray(v).nbytes
+                                 for v in probe.values()) * 1.25) + 4096
+            n_slots = self.num_workers + self.batch_size + 2
+            free_q = ctx.Queue()
+            for i in range(n_slots):
+                slabs.append(shared_memory.SharedMemory(
+                    create=True, size=slab_bytes))
+                free_q.put(i)
+            _WORKER_SLABS = slabs
+            _WORKER_FREE_Q = free_q
+
+        try:
+            with ctx.Pool(self.num_workers) as pool:
+                if slabs:
+                    buf: List[Dict] = []
+                    used_slots: List[int] = []
+                    for res in pool.imap(_fetch_shm, tasks, chunksize=chunk):
+                        if res[0] == "shm":
+                            _, slot, schema = res
+                            buf.append(_unpack_from_slab(slabs[slot], schema))
+                            used_slots.append(slot)
+                        else:
+                            buf.append(res[1])
+                        if len(buf) == self.batch_size:
+                            yield collate(buf, self.nc, self.with_instr_id)
+                            buf = []
+                            for s in used_slots:
+                                free_q.put(s)
+                            used_slots = []
+                    if buf and not self.drop_last:
+                        yield collate(buf, self.nc, self.with_instr_id)
+                else:
                     buf = []
-            if buf and not self.drop_last:
-                yield collate(buf, self.nc, self.with_instr_id)
+                    for item in pool.imap(_fetch, tasks, chunksize=chunk):
+                        buf.append(item)
+                        if len(buf) == self.batch_size:
+                            yield collate(buf, self.nc, self.with_instr_id)
+                            buf = []
+                    if buf and not self.drop_last:
+                        yield collate(buf, self.nc, self.with_instr_id)
+        finally:
+            for slab in slabs:
+                try:
+                    slab.unlink()   # free the segment even if views linger
+                except Exception:
+                    pass
+                try:
+                    slab.close()
+                except Exception:
+                    pass
+            _WORKER_SLABS = None
+            _WORKER_FREE_Q = None
 
 
 def device_prefetch(iterator, shardings=None, depth: int = 2):
