@@ -25,6 +25,10 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))
 import numpy as np
 
 BASELINE_TRAJ_S = 13.0
+# fwd FLOPs/candidate ~155 GF (see docstring); fwd+bwd ~3x => 0.465 TF/traj.
+# v5e bf16 peak = 197 TF/s/chip; MFU in the output JSON uses these numbers.
+FLOPS_PER_TRAJ = 0.465e12
+V5E_PEAK_FLOPS = 197e12
 
 
 def main():
@@ -40,11 +44,26 @@ def main():
     args = RunConfig(ranking=True, traj_judge=True, masked_vision=True,
                      masked_language=True, pretrain=True,
                      learning_rate=2e-5, num_epochs=1,
-                     gradient_accumulation_steps=1)
+                     gradient_accumulation_steps=1,
+                     sparse_vision_targets=True)
+
+    from youtube_vln_tpu.ops.masking import max_masked_regions
 
     n_dev = len(jax.devices())
     bs, nc, s_t, s_v = 8 * n_dev, 7, 60, 808  # per-chip batch 8 (recipe)
+    m_cap = max_masked_regions(s_v)           # sparse MVM targets (208 rows)
     rng = np.random.default_rng(0)
+    tmask = (rng.random((bs, nc, s_v)) < 0.15).astype(np.int32)
+    # sparse encoding: indices of masked regions (padded with s_v) + their
+    # target rows — matches data/datasets.py sparse_vision_targets output
+    idx = np.full((bs, nc, m_cap), s_v, np.int32)
+    rows = np.zeros((bs, nc, m_cap, cfg.v_target_size), np.float32)
+    for i in range(bs):
+        for j in range(nc):
+            on = np.nonzero(tmask[i, j])[0][:m_cap]
+            idx[i, j, :len(on)] = on
+            r = rng.random((len(on), cfg.v_target_size)).astype(np.float32)
+            rows[i, j, :len(on)] = r / r.sum(-1, keepdims=True)
     batch = {
         "instr_tokens": rng.integers(1, cfg.vocab_size, size=(bs, nc, s_t)),
         "instr_mask": np.ones((bs, nc, s_t), np.int32),
@@ -55,9 +74,9 @@ def main():
         "image_features": rng.normal(size=(bs, nc, s_v, 2048)).astype(np.float32),
         "image_locations": rng.random((bs, nc, s_v, 12)).astype(np.float32),
         "image_mask": np.ones((bs, nc, s_v), np.int32),
-        "image_targets": np.full((bs, nc, s_v, cfg.v_target_size),
-                                 1.0 / cfg.v_target_size, np.float32),
-        "image_targets_mask": (rng.random((bs, nc, s_v)) < 0.15).astype(np.int32),
+        "image_targets": rows,
+        "image_targets_idx": idx,
+        "image_targets_mask": tmask,
         "opt_mask": np.ones((bs, nc), bool),
         "ranking_target": np.zeros((bs,), np.int32),
     }
@@ -89,6 +108,33 @@ def main():
         state, metrics = step(state, dbatch, jax.random.fold_in(rng_key, 100 + i))
         float(metrics["loss/train"])
 
+    # On-chip Pallas-vs-XLA parity: one forward through the fused kernels,
+    # one through the pure-XLA path, same params/inputs; max-abs-diff over
+    # every task head goes into the bench JSON.
+    import dataclasses
+    from youtube_vln_tpu.models import lily_forward
+
+    flat = {k: np.ascontiguousarray(batch[k][0]) for k in
+            ("instr_tokens", "instr_mask", "segment_ids", "image_features",
+             "image_locations", "image_mask")}
+    cfg_xla = dataclasses.replace(cfg, use_pallas_attention=False)
+
+    def make_fwd(c):
+        return jax.jit(lambda p, b: lily_forward(
+            p, c, b["instr_tokens"], b["image_features"],
+            b["image_locations"], token_type_ids=b["segment_ids"],
+            attention_mask=b["instr_mask"],
+            image_attention_mask=b["image_mask"], train=False))
+
+    out_pal = make_fwd(cfg)(state.params, flat)
+    out_xla = make_fwd(cfg_xla)(state.params, flat)
+    pallas_max_err = max(
+        float(np.max(np.abs(np.asarray(out_pal[k], np.float32)
+                            - np.asarray(out_xla[k], np.float32))))
+        for k in out_pal)
+    assert pallas_max_err < 0.25, (
+        f"fused-kernel forward diverges from XLA: {pallas_max_err}")
+
     # Steady state: pipelined dispatch chain, then force every step's loss.
     n_steps = 10
     losses = []
@@ -112,6 +158,9 @@ def main():
             "device": str(jax.devices()[0]),
             "devices": n_dev,
             "loss": final_loss,
+            "mfu": round(traj_per_s * FLOPS_PER_TRAJ / V5E_PEAK_FLOPS, 3),
+            "pallas_max_err": round(pallas_max_err, 6),
+            "sparse_vision_targets": True,
         },
     }))
 

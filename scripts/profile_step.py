@@ -1,0 +1,164 @@
+"""Step-time breakdown on the real chip: times jitted variants of the
+train step to locate the bottleneck (axon-safe timing: pipelined dispatch
+chain, readback at the end).
+
+  python scripts/profile_step.py full fwd encoder ...
+
+Variants:
+  full        fwd + all losses + bwd + AdamW (the bench step)
+  full_xla    same but use_pallas_attention=False
+  fwd         forward + losses only (no grad)
+  encoder     bert_model forward only (no heads, no losses)
+  enc_grad    encoder fwd+bwd with a sum() loss (no heads)
+  heads       full fwd minus encoder cost is inferred: fwd - encoder
+  noopt       fwd + losses + bwd, but no AdamW update
+"""
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import numpy as np
+
+
+def build_batch(cfg, bs, nc, s_t, s_v):
+    from youtube_vln_tpu.ops.masking import max_masked_regions
+    m_cap = max_masked_regions(s_v)
+    rng = np.random.default_rng(0)
+    tmask = (rng.random((bs, nc, s_v)) < 0.15).astype(np.int32)
+    idx = np.full((bs, nc, m_cap), s_v, np.int32)
+    rows = np.zeros((bs, nc, m_cap, cfg.v_target_size), np.float32)
+    for i in range(bs):
+        for j in range(nc):
+            on = np.nonzero(tmask[i, j])[0][:m_cap]
+            idx[i, j, :len(on)] = on
+            r = rng.random((len(on), cfg.v_target_size)).astype(np.float32)
+            rows[i, j, :len(on)] = r / r.sum(-1, keepdims=True)
+    batch = {
+        "instr_tokens": rng.integers(1, cfg.vocab_size, size=(bs, nc, s_t)),
+        "instr_mask": np.ones((bs, nc, s_t), np.int32),
+        "segment_ids": np.zeros((bs, nc, s_t), np.int32),
+        "instr_targets": np.where(rng.random((bs, nc, s_t)) < 0.15,
+                                  rng.integers(0, cfg.vocab_size,
+                                               (bs, nc, s_t)), -1),
+        "image_features": rng.normal(size=(bs, nc, s_v, 2048)).astype(np.float32),
+        "image_locations": rng.random((bs, nc, s_v, 12)).astype(np.float32),
+        "image_mask": np.ones((bs, nc, s_v), np.int32),
+        "image_targets": rows,
+        "image_targets_idx": idx,
+        "image_targets_mask": tmask,
+        "opt_mask": np.ones((bs, nc), bool),
+        "ranking_target": np.zeros((bs,), np.int32),
+    }
+    batch["image_locations"][..., 11] = np.repeat(
+        np.arange(s_v // 101), 101)[None, None, :]
+    return batch
+
+
+def time_fn(fn, args, n=8, reads=2):
+    """Returns ms/call; forces value readback (axon does not execute on
+    block_until_ready)."""
+    import jax
+    out = None
+    for _ in range(reads):
+        out = fn(*args)
+        float(np.asarray(jax.tree_util.tree_leaves(out)[0]).ravel()[0])
+    t0 = time.perf_counter()
+    outs = [fn(*args) for _ in range(n)]
+    for o in outs:
+        float(np.asarray(jax.tree_util.tree_leaves(o)[0]).ravel()[0])
+    return (time.perf_counter() - t0) / n * 1000
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from youtube_vln_tpu.config import lily_base_config, RunConfig
+    from youtube_vln_tpu.models import init_lily_params, lily_forward
+    from youtube_vln_tpu.models.vilbert import bert_model
+    from youtube_vln_tpu.parallel import train_step as ts
+
+    variants = sys.argv[1:] or ["full", "fwd", "encoder"]
+
+    cfg = lily_base_config(ranking=True, traj_judge=True, masked_vision=True,
+                           masked_language=True, compute_dtype="bfloat16",
+                           use_pallas_attention=True, remat=False)
+    args = RunConfig(ranking=True, traj_judge=True, masked_vision=True,
+                     masked_language=True, pretrain=True, learning_rate=2e-5,
+                     num_epochs=1, gradient_accumulation_steps=1,
+                     sparse_vision_targets=True)
+    bs, nc, s_t, s_v = 8, 7, 60, 808
+    batch = build_batch(cfg, bs, nc, s_t, s_v)
+    params = init_lily_params(jax.random.PRNGKey(0), cfg)
+    dbatch = jax.device_put(batch)
+    dparams = jax.device_put(params)
+    rng_key = jax.random.PRNGKey(0)
+    flat = {k: np.ascontiguousarray(
+        batch[k].reshape((-1,) + batch[k].shape[2:])) for k in
+        ("instr_tokens", "instr_mask", "segment_ids", "image_features",
+         "image_locations", "image_mask")}
+    dflat = jax.device_put(flat)
+
+    results = {}
+    for name in variants:
+        if name in ("full", "full_xla", "noopt"):
+            import dataclasses
+            c = cfg if name != "full_xla" else dataclasses.replace(
+                cfg, use_pallas_attention=False)
+            state, tx, _ = ts.create_train_state(dparams, args,
+                                                 steps_per_epoch=1000)
+            if name == "noopt":
+                tasks = ts._task_config(args, training=True)
+                gf = jax.value_and_grad(ts.loss_fn, has_aux=True)
+
+                def raw(params, b, r):
+                    (_, m), g = gf(params, c, b, tasks, r, True)
+                    return m["loss/train"], g
+                step = jax.jit(raw)
+                fn = lambda r: step(dparams, dbatch, r)
+                ms = time_fn(lambda r: fn(r)[0:1],
+                             (jax.random.fold_in(rng_key, 1),))
+            else:
+                step = jax.jit(ts.build_train_step(c, args, tx))
+                st = state
+                # non-donated state (timing only; donation complicates reuse)
+                ms = time_fn(lambda r: step(st, dbatch, r)[1]["loss/train"],
+                             (jax.random.fold_in(rng_key, 1),))
+        elif name == "fwd":
+            tasks = ts._task_config(args, training=True)
+            step = jax.jit(lambda p, b: ts.loss_fn(p, cfg, b, tasks, None,
+                                                   False)[0])
+            ms = time_fn(lambda: step(dparams, dbatch), ())
+        elif name == "encoder":
+            step = jax.jit(lambda p, b: bert_model(
+                p, cfg, b["instr_tokens"], b["image_features"],
+                b["image_locations"], token_type_ids=b["segment_ids"],
+                attention_mask=b["instr_mask"],
+                image_attention_mask=b["image_mask"])[2])
+            ms = time_fn(lambda: step(dparams, dflat), ())
+        elif name == "enc_grad":
+            def enc_loss(p, b):
+                seq_t, seq_v, pt, pv = bert_model(
+                    p, cfg, b["instr_tokens"], b["image_features"],
+                    b["image_locations"], token_type_ids=b["segment_ids"],
+                    attention_mask=b["instr_mask"],
+                    image_attention_mask=b["image_mask"], train=True,
+                    rng=jax.random.PRNGKey(1))
+                return (jnp.sum(seq_t.astype(jnp.float32) ** 2)
+                        + jnp.sum(seq_v.astype(jnp.float32) ** 2))
+            step = jax.jit(lambda p, b: jax.grad(enc_loss)(p, b)
+                           ["t_pooler"]["w"].sum())
+            ms = time_fn(lambda: step(dparams, dflat), ())
+        else:
+            print(f"unknown variant {name}")
+            continue
+        results[name] = round(ms, 1)
+        print(f"{name}: {results[name]} ms", flush=True)
+
+    print(results)
+
+
+if __name__ == "__main__":
+    main()

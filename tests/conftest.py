@@ -47,9 +47,13 @@ def import_reference_vilbert():
         pytest.skip("reference repo not available")
     if str(REFERENCE_ROOT) not in sys.path:
         sys.path.insert(0, str(REFERENCE_ROOT))
+    import importlib.machinery
     for m in ("boto3", "requests", "botocore", "botocore.exceptions"):
         if m not in sys.modules:
             mod = types.ModuleType(m)
+            # a real-looking spec keeps importlib.util.find_spec() happy
+            # (transformers probes optional deps that way)
+            mod.__spec__ = importlib.machinery.ModuleSpec(m, loader=None)
             if m == "botocore.exceptions":
                 mod.ClientError = Exception
             sys.modules[m] = mod

@@ -12,6 +12,7 @@ import jax.numpy as jnp
 
 from youtube_vln_tpu.models.layers import attention_core
 from youtube_vln_tpu.ops.attention import (pallas_attention_core,
+                                           pallas_bi_attention,
                                            use_pallas_for)
 
 
@@ -65,6 +66,70 @@ def test_mask_fully_blocks_keys(rng):
     v2 = v.at[:, :, s // 2:, :].add(100.0)
     out2 = pallas_attention_core(q, k, v2, mask)
     np.testing.assert_allclose(np.asarray(out), np.asarray(out2), atol=1e-5)
+
+
+def _bi_inputs(rng, b=1, h=2, s_v=128, s_t=60, d=64):
+    mk = lambda s: jnp.asarray(rng.normal(size=(b, h, s, d)), jnp.float32)
+    q1, k1, v1 = mk(s_v), mk(s_v), mk(s_v)
+    q2, k2, v2 = mk(s_t), mk(s_t), mk(s_t)
+    vrow = (rng.random((b, s_v)) < 0.9).astype(np.float32)
+    trow = (rng.random((b, s_t)) < 0.9).astype(np.float32)
+    v_mask = jnp.asarray(((1 - vrow) * -10000.0)[:, None, None, :])
+    t_mask = jnp.asarray(((1 - trow) * -10000.0)[:, None, None, :])
+    return (q1, k1, v1, q2, k2, v2, v_mask, t_mask)
+
+
+def test_bi_attention_matches_two_calls(rng):
+    """The single-launch fused kernel equals the two-call formulation
+    (models/vilbert.py:bi_attention unfused path)."""
+    q1, k1, v1, q2, k2, v2, v_mask, t_mask = _bi_inputs(rng)
+    ref1 = attention_core(q2, k1, v1, v_mask)
+    ref2 = attention_core(q1, k2, v2, t_mask)
+    ctx1, ctx2 = pallas_bi_attention(q1, k1, v1, q2, k2, v2, v_mask, t_mask)
+    np.testing.assert_allclose(np.asarray(ctx1), np.asarray(ref1), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(ctx2), np.asarray(ref2), atol=1e-5)
+
+
+def test_bi_attention_gradients(rng):
+    q1, k1, v1, q2, k2, v2, v_mask, t_mask = _bi_inputs(rng, s_v=64, s_t=64)
+    args = (q1, k1, v1, q2, k2, v2)
+
+    def loss_ref(*a):
+        c1 = attention_core(a[3], a[1], a[2], v_mask)
+        c2 = attention_core(a[0], a[4], a[5], t_mask)
+        return jnp.sum(c1 ** 2) + jnp.sum(jnp.sin(c2))
+
+    def loss_pal(*a):
+        c1, c2 = pallas_bi_attention(*a, v_mask, t_mask)
+        return jnp.sum(c1 ** 2) + jnp.sum(jnp.sin(c2))
+
+    gr = jax.grad(loss_ref, argnums=tuple(range(6)))(*args)
+    gp = jax.grad(loss_pal, argnums=tuple(range(6)))(*args)
+    for name, a, b_ in zip(("q1", "k1", "v1", "q2", "k2", "v2"), gr, gp):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=1e-4,
+                                   err_msg=name)
+
+
+def test_bi_attention_in_model_path(rng):
+    """bert_model with bi_attention_fn set equals the default two-call path
+    (eval mode, f32)."""
+    from youtube_vln_tpu.config import tiny_config
+    from youtube_vln_tpu.models import init_lily_params
+    from youtube_vln_tpu.models.vilbert import bert_model
+
+    cfg = tiny_config()
+    params = init_lily_params(jax.random.PRNGKey(0), cfg)
+    n, s_t, s_v = 2, 16, 24
+    tokens = jnp.asarray(rng.integers(1, cfg.vocab_size, (n, s_t)))
+    feats = jnp.asarray(rng.normal(size=(n, s_v, cfg.v_feature_size)),
+                        jnp.float32)
+    locs = jnp.asarray(rng.random((n, s_v, 12)), jnp.float32)
+
+    ref = bert_model(params, cfg, tokens, feats, locs)
+    out = bert_model(params, cfg, tokens, feats, locs,
+                     bi_attention_fn=pallas_bi_attention)
+    for a, b in zip(ref, out):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
 
 
 def test_dispatch_heuristic():

@@ -14,6 +14,9 @@ import jax.numpy as jnp
 
 from youtube_vln_tpu.training.optimization import (
     adamw_ref,
+    warmup_constant_schedule,
+    warmup_cosine_schedule,
+    warmup_cosine_hard_restarts_schedule,
     warmup_linear_schedule,
     no_decay_mask,
 )
@@ -37,6 +40,54 @@ def test_schedule_matches_lambdalr(ref_opt):
         assert float(ours(k)) == pytest.approx(ref_lr, rel=1e-6), k
         opt.step()
         sched.step()
+
+
+@pytest.mark.parametrize("name,make_ref,make_ours", [
+    ("warmup_constant",
+     lambda mod, opt: mod.WarmupConstantSchedule(opt, warmup_steps=4.2),
+     lambda: warmup_constant_schedule(2e-5, 4.2)),
+    ("warmup_cosine",
+     lambda mod, opt: mod.WarmupCosineSchedule(opt, warmup_steps=4.2,
+                                               t_total=20),
+     lambda: warmup_cosine_schedule(2e-5, 4.2, 20)),
+    ("warmup_cosine_cycles2",
+     lambda mod, opt: mod.WarmupCosineSchedule(opt, warmup_steps=3,
+                                               t_total=20, cycles=2.0),
+     lambda: warmup_cosine_schedule(2e-5, 3, 20, cycles=2.0)),
+    ("warmup_cosine_hard_restarts",
+     lambda mod, opt: mod.WarmupCosineWithHardRestartsSchedule(
+         opt, warmup_steps=4.2, t_total=20, cycles=3.0),
+     lambda: warmup_cosine_hard_restarts_schedule(2e-5, 4.2, 20, cycles=3.0)),
+])
+def test_schedule_variants_match_lambdalr(ref_opt, name, make_ref, make_ours):
+    """Cosine/constant variants (reference optimization.py:26-103)."""
+    AdamW, _ = ref_opt
+    import vilbert.optimization as mod
+    p = torch.nn.Parameter(torch.zeros(3))
+    opt = AdamW([p], lr=2e-5)
+    sched = make_ref(mod, opt)
+    ours = make_ours()
+    for k in range(25):
+        ref_lr = opt.param_groups[0]["lr"]
+        # ours evaluates in f32 (in-graph); the torch LambdaLR oracle is
+        # f64 — near cosine zeros the relative gap reaches ~1e-5
+        assert float(ours(k)) == pytest.approx(ref_lr, rel=3e-5,
+                                               abs=1e-12), (name, k)
+        opt.step()
+        sched.step()
+
+
+def test_make_schedule_selects_variant():
+    from youtube_vln_tpu.config import RunConfig
+    from youtube_vln_tpu.training.optimization import make_schedule
+    args = RunConfig(ranking=True, learning_rate=1e-4, num_epochs=10,
+                     lr_schedule="warmup_cosine")
+    sched = make_schedule(args, steps_per_epoch=10)
+    # t_total=100, warmup=20, adjusted=20+2*80=180: cosine after warmup
+    assert float(sched(0)) == 0.0
+    assert float(sched(10)) == pytest.approx(0.5e-4, rel=1e-6)
+    assert float(sched(20)) == pytest.approx(1e-4, rel=1e-6)
+    assert 0.0 < float(sched(100)) < 1e-4
 
 
 def test_adamw_matches_reference(ref_opt, rng):

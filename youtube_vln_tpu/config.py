@@ -220,6 +220,11 @@ class RunConfig:
     weight_decay: float = 1e-2
     no_scheduler: bool = False
     ConstantLR: bool = False
+    lr_schedule: str = "warmup_linear"  # warmup_linear | warmup_constant |
+                                        # warmup_cosine |
+                                        # warmup_cosine_hard_restarts
+                                        # (reference optimization.py:26-103;
+                                        # recipes only ever use warmup_linear)
     resume: bool = False
     seed: int = 1
     num_workers: int = 3

@@ -154,7 +154,8 @@ def vision_embeddings(p, cfg: LilyConfig, feats, locs, *, rng=None,
 # co-attention connection layer
 # --------------------------------------------------------------------------- #
 def bi_attention(p, cfg: LilyConfig, v_x, v_mask, t_x, t_mask, *,
-                 rng=None, train=False, attention_fn=None):
+                 rng=None, train=False, attention_fn=None,
+                 bi_attention_fn=None):
     """Bi-directional cross attention (reference vilbert.py:552-618).
 
     Returns (context_for_vision, context_for_text): text queries attend
@@ -172,25 +173,35 @@ def bi_attention(p, cfg: LilyConfig, v_x, v_mask, t_x, t_mask, *,
     k2 = L.split_heads(L.linear(t_x, p["key2"]), heads)
     v2 = L.split_heads(L.linear(t_x, p["value2"]), heads)
 
-    fn = attention_fn or L.attention_core
-    # text queries -> vision keys/values  (context1: [B, S_t, bi])
-    ctx1 = fn(q2, k1, v1, v_mask,
-              dropout_rate=cfg.v_attention_probs_dropout_prob,
-              rng=rngs[0], train=train)
-    # vision queries -> text keys/values  (context2: [B, S_v, bi])
-    ctx2 = fn(q1, k2, v2, t_mask,
-              dropout_rate=cfg.attention_probs_dropout_prob,
-              rng=rngs[1], train=train)
+    if bi_attention_fn is not None:
+        # both directions in ONE kernel launch (ops/attention.py)
+        ctx1, ctx2 = bi_attention_fn(
+            q1, k1, v1, q2, k2, v2, v_mask, t_mask,
+            rate1=cfg.v_attention_probs_dropout_prob,
+            rate2=cfg.attention_probs_dropout_prob,
+            rng=rngs[0], train=train)
+    else:
+        fn = attention_fn or L.attention_core
+        # text queries -> vision keys/values  (context1: [B, S_t, bi])
+        ctx1 = fn(q2, k1, v1, v_mask,
+                  dropout_rate=cfg.v_attention_probs_dropout_prob,
+                  rng=rngs[0], train=train)
+        # vision queries -> text keys/values  (context2: [B, S_v, bi])
+        ctx2 = fn(q1, k2, v2, t_mask,
+                  dropout_rate=cfg.attention_probs_dropout_prob,
+                  rng=rngs[1], train=train)
     return L.merge_heads(ctx1), L.merge_heads(ctx2)
 
 
 def connection_layer(p, cfg: LilyConfig, v_x, v_mask, t_x, t_mask, *,
-                     rng=None, train=False, attention_fn=None):
+                     rng=None, train=False, attention_fn=None,
+                     bi_attention_fn=None):
     """BertConnectionLayer (reference vilbert.py:652-679)."""
     rngs = jax.random.split(rng, 5) if rng is not None else (None,) * 5
     ctx_t, ctx_v = bi_attention(p["bi"], cfg, v_x, v_mask, t_x, t_mask,
                                 rng=rngs[0], train=train,
-                                attention_fn=attention_fn)
+                                attention_fn=attention_fn,
+                                bi_attention_fn=bi_attention_fn)
     # BertBiOutput (vilbert.py:620-650): hidden_states1=ctx_v (vision side),
     # hidden_states2=ctx_t (text side)
     o = p["out"]
@@ -217,7 +228,8 @@ def _maybe_remat(fn, enabled):
 
 
 def encoder(params, cfg: LilyConfig, t_x, v_x, t_mask, v_mask, *,
-            rng=None, train=False, attention_fn=None):
+            rng=None, train=False, attention_fn=None,
+            bi_attention_fn=None):
     """Interleave vision/text layers with connection layers at the
     (v_biattention_id, t_biattention_id) schedule (reference
     vilbert.py:712-818).  Frozen prefixes (fixed_t_layer / fixed_v_layer)
@@ -287,7 +299,8 @@ def encoder(params, cfg: LilyConfig, t_x, v_x, t_mask, v_mask, *,
             fn = _maybe_remat(
                 lambda vv, tt, c=count, rr=r: connection_layer(
                     params["cross_layers"][c], cfg, vv, v_mask, tt, t_mask,
-                    rng=rr, train=train, attention_fn=attention_fn),
+                    rng=rr, train=train, attention_fn=attention_fn,
+                    bi_attention_fn=bi_attention_fn),
                 cfg.remat)
             v_x, t_x = fn(v_x, t_x)
 
@@ -341,7 +354,7 @@ def fuse_pooled(cfg: LilyConfig, pooled_t, pooled_v):
 def bert_model(params, cfg: LilyConfig, instr_tokens, image_features,
                image_locations, token_type_ids=None, attention_mask=None,
                image_attention_mask=None, *, rng=None, train=False,
-               attention_fn=None):
+               attention_fn=None, bi_attention_fn=None):
     """Reference BertModel.forward (vilbert.py:1242-1337).
 
     All inputs are dense, statically-shaped arrays; candidate padding is
@@ -349,8 +362,10 @@ def bert_model(params, cfg: LilyConfig, instr_tokens, image_features,
     dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
 
     if attention_fn is None and cfg.use_pallas_attention:
-        from ..ops.attention import select_attention_fn
+        from ..ops.attention import select_attention_fn, select_bi_attention_fn
         attention_fn = select_attention_fn(cfg)
+        if bi_attention_fn is None:
+            bi_attention_fn = select_bi_attention_fn(cfg)
 
     if attention_mask is None:
         attention_mask = jnp.ones_like(instr_tokens)
@@ -372,7 +387,8 @@ def bert_model(params, cfg: LilyConfig, instr_tokens, image_features,
                             dtype=dtype)
 
     seq_t, seq_v = encoder(params, cfg, t_x, v_x, t_mask, v_mask,
-                           rng=rngs[2], train=train, attention_fn=attention_fn)
+                           rng=rngs[2], train=train, attention_fn=attention_fn,
+                           bi_attention_fn=bi_attention_fn)
 
     pooled_t = pooler(seq_t, params["t_pooler"])
     pooled_v = pooler(seq_v, params["v_pooler"])

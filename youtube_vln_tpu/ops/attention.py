@@ -226,6 +226,263 @@ def pallas_attention_core(q, k, v, mask, *, dropout_rate: float = 0.0,
     return out.reshape(b, h, s_q, d)
 
 
+# --------------------------------------------------------------------------- #
+# fused bi-directional cross attention (both directions of BertBiAttention
+# in ONE kernel launch; reference vilbert/vilbert.py:552-618)
+# --------------------------------------------------------------------------- #
+def _bi_fwd_kernel(seed_ref, q1_ref, k1_ref, v1_ref, q2_ref, k2_ref, v2_ref,
+                   vbias_ref, tbias_ref, ctx1_ref, ctx2_ref, *,
+                   scale: float, rate1: float, rate2: float):
+    """Per (batch*head) program:
+         ctx1 = softmax(q2 k1^T + vbias) v1   (text queries -> vision KV)
+         ctx2 = softmax(q1 k2^T + tbias) v2   (vision queries -> text KV)
+    Dropout draws two masks from one seeded stream; the backward kernel
+    replays the identical call order."""
+    if rate1 > 0.0 or rate2 > 0.0:
+        pltpu.prng_seed(seed_ref[0].astype(jnp.int32) + pl.program_id(0))
+
+    s1 = jax.lax.dot_general(
+        q2_ref[0], k1_ref[0], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32) * scale
+    s1 = s1 + vbias_ref[0].astype(jnp.float32)
+    p1 = jax.nn.softmax(s1, axis=-1)
+    if rate1 > 0.0:
+        keep1 = _dropout_mask(p1.shape, rate1)
+        p1 = jnp.where(keep1, p1 / (1.0 - rate1), 0.0)
+    ctx1_ref[0] = jax.lax.dot_general(
+        p1.astype(v1_ref.dtype), v1_ref[0], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32).astype(ctx1_ref.dtype)
+
+    s2 = jax.lax.dot_general(
+        q1_ref[0], k2_ref[0], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32) * scale
+    s2 = s2 + tbias_ref[0].astype(jnp.float32)
+    p2 = jax.nn.softmax(s2, axis=-1)
+    if rate2 > 0.0:
+        keep2 = _dropout_mask(p2.shape, rate2)
+        p2 = jnp.where(keep2, p2 / (1.0 - rate2), 0.0)
+    ctx2_ref[0] = jax.lax.dot_general(
+        p2.astype(v2_ref.dtype), v2_ref[0], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32).astype(ctx2_ref.dtype)
+
+
+def _bi_bwd_kernel(seed_ref, q1_ref, k1_ref, v1_ref, q2_ref, k2_ref, v2_ref,
+                   vbias_ref, tbias_ref, do1_ref, do2_ref,
+                   dq1_ref, dk1_ref, dv1_ref, dq2_ref, dk2_ref, dv2_ref, *,
+                   scale: float, rate1: float, rate2: float):
+    if rate1 > 0.0 or rate2 > 0.0:
+        pltpu.prng_seed(seed_ref[0].astype(jnp.int32) + pl.program_id(0))
+
+    # ---- direction 1: recompute p1, then dV1 / dQ2 / dK1 ----
+    s1 = jax.lax.dot_general(
+        q2_ref[0], k1_ref[0], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32) * scale
+    s1 = s1 + vbias_ref[0].astype(jnp.float32)
+    p1 = jax.nn.softmax(s1, axis=-1)
+    if rate1 > 0.0:
+        keep1 = _dropout_mask(p1.shape, rate1)
+        p1_drop = jnp.where(keep1, p1 / (1.0 - rate1), 0.0)
+    else:
+        p1_drop = p1
+    do1 = do1_ref[0].astype(jnp.float32)
+    v1 = v1_ref[0].astype(jnp.float32)
+    dv1_ref[0] = jax.lax.dot_general(
+        p1_drop, do1, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32).astype(dv1_ref.dtype)
+    dp1 = jax.lax.dot_general(
+        do1, v1, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    if rate1 > 0.0:
+        dp1 = jnp.where(keep1, dp1 / (1.0 - rate1), 0.0)
+    ds1 = p1 * (dp1 - jnp.sum(p1 * dp1, axis=-1, keepdims=True)) * scale
+    q2 = q2_ref[0].astype(jnp.float32)
+    k1 = k1_ref[0].astype(jnp.float32)
+    dq2_ref[0] = jax.lax.dot_general(
+        ds1, k1, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32).astype(dq2_ref.dtype)
+    dk1_ref[0] = jax.lax.dot_general(
+        ds1, q2, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32).astype(dk1_ref.dtype)
+
+    # ---- direction 2 (same seeded stream order as the forward) ----
+    s2 = jax.lax.dot_general(
+        q1_ref[0], k2_ref[0], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32) * scale
+    s2 = s2 + tbias_ref[0].astype(jnp.float32)
+    p2 = jax.nn.softmax(s2, axis=-1)
+    if rate2 > 0.0:
+        keep2 = _dropout_mask(p2.shape, rate2)
+        p2_drop = jnp.where(keep2, p2 / (1.0 - rate2), 0.0)
+    else:
+        p2_drop = p2
+    do2 = do2_ref[0].astype(jnp.float32)
+    v2 = v2_ref[0].astype(jnp.float32)
+    dv2_ref[0] = jax.lax.dot_general(
+        p2_drop, do2, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32).astype(dv2_ref.dtype)
+    dp2 = jax.lax.dot_general(
+        do2, v2, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    if rate2 > 0.0:
+        dp2 = jnp.where(keep2, dp2 / (1.0 - rate2), 0.0)
+    ds2 = p2 * (dp2 - jnp.sum(p2 * dp2, axis=-1, keepdims=True)) * scale
+    q1 = q1_ref[0].astype(jnp.float32)
+    k2 = k2_ref[0].astype(jnp.float32)
+    dq1_ref[0] = jax.lax.dot_general(
+        ds2, k2, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32).astype(dq1_ref.dtype)
+    dk2_ref[0] = jax.lax.dot_general(
+        ds2, q1, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32).astype(dk2_ref.dtype)
+
+
+def _bi_specs(s_v, s_t, d):
+    vspec = pl.BlockSpec((1, s_v, d), lambda i, *_: (i, 0, 0),
+                         memory_space=pltpu.VMEM)
+    tspec = pl.BlockSpec((1, s_t, d), lambda i, *_: (i, 0, 0),
+                         memory_space=pltpu.VMEM)
+    vbspec = pl.BlockSpec((1, 1, s_v), lambda i, *_: (i, 0, 0),
+                          memory_space=pltpu.VMEM)
+    tbspec = pl.BlockSpec((1, 1, s_t), lambda i, *_: (i, 0, 0),
+                          memory_space=pltpu.VMEM)
+    return vspec, tspec, vbspec, tbspec
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(9, 10, 11))
+def _fused_bi_attention(q1, k1, v1, q2, k2, v2, vbias, tbias, seed,
+                        rate1, rate2, train):
+    out, _ = _fused_bi_attention_fwd(q1, k1, v1, q2, k2, v2, vbias, tbias,
+                                     seed, rate1, rate2, train)
+    return out
+
+
+def _fused_bi_attention_fwd(q1, k1, v1, q2, k2, v2, vbias, tbias, seed,
+                            rate1, rate2, train):
+    if not train:
+        rate1 = rate2 = 0.0
+    bh, s_v, d = q1.shape
+    s_t = q2.shape[1]
+    vspec, tspec, vbspec, tbspec = _bi_specs(s_v, s_t, d)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(bh,),
+        in_specs=[vspec, vspec, vspec, tspec, tspec, tspec, vbspec, tbspec],
+        out_specs=(tspec, vspec),
+    )
+    kernel = functools.partial(_bi_fwd_kernel, scale=1.0 / math.sqrt(d),
+                               rate1=rate1, rate2=rate2)
+    flops = 4 * bh * s_t * s_v * d          # 2 matmuls per direction
+    ctx1, ctx2 = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=(jax.ShapeDtypeStruct((bh, s_t, d), q2.dtype),
+                   jax.ShapeDtypeStruct((bh, s_v, d), q1.dtype)),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        cost_estimate=pl.CostEstimate(
+            flops=flops,
+            bytes_accessed=8 * bh * (s_v + s_t) * d * q1.dtype.itemsize,
+            transcendentals=2 * bh * s_t * s_v),
+        interpret=_interpret(),
+    )(_seed_arr(seed), q1, k1, v1, q2, k2, v2, vbias, tbias)
+    return (ctx1, ctx2), (q1, k1, v1, q2, k2, v2, vbias, tbias, seed)
+
+
+def _fused_bi_attention_bwd(rate1, rate2, train, residuals, dout):
+    q1, k1, v1, q2, k2, v2, vbias, tbias, seed = residuals
+    do1, do2 = dout
+    if not train:
+        rate1 = rate2 = 0.0
+    bh, s_v, d = q1.shape
+    s_t = q2.shape[1]
+    vspec, tspec, vbspec, tbspec = _bi_specs(s_v, s_t, d)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(bh,),
+        in_specs=[vspec, vspec, vspec, tspec, tspec, tspec, vbspec, tbspec,
+                  tspec, vspec],
+        out_specs=(vspec, vspec, vspec, tspec, tspec, tspec),
+    )
+    kernel = functools.partial(_bi_bwd_kernel, scale=1.0 / math.sqrt(d),
+                               rate1=rate1, rate2=rate2)
+    grads = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=(jax.ShapeDtypeStruct(q1.shape, q1.dtype),
+                   jax.ShapeDtypeStruct(k1.shape, k1.dtype),
+                   jax.ShapeDtypeStruct(v1.shape, v1.dtype),
+                   jax.ShapeDtypeStruct(q2.shape, q2.dtype),
+                   jax.ShapeDtypeStruct(k2.shape, k2.dtype),
+                   jax.ShapeDtypeStruct(v2.shape, v2.dtype)),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        cost_estimate=pl.CostEstimate(
+            flops=11 * bh * s_t * s_v * d,
+            bytes_accessed=14 * bh * (s_v + s_t) * d * q1.dtype.itemsize,
+            transcendentals=2 * bh * s_t * s_v),
+        interpret=_interpret(),
+    )(_seed_arr(seed), q1, k1, v1, q2, k2, v2, vbias, tbias, do1, do2)
+    dq1, dk1, dv1, dq2, dk2, dv2 = grads
+    return (dq1, dk1, dv1, dq2, dk2, dv2,
+            jnp.zeros_like(vbias), jnp.zeros_like(tbias),
+            jnp.zeros_like(seed))
+
+
+_fused_bi_attention.defvjp(_fused_bi_attention_fwd, _fused_bi_attention_bwd)
+
+
+def pallas_bi_attention(q1, k1, v1, q2, k2, v2, v_mask, t_mask, *,
+                        rate1: float = 0.0, rate2: float = 0.0,
+                        rng: Optional[jax.Array] = None,
+                        train: bool = False):
+    """Both directions of BertBiAttention in one launch.
+
+    q1/k1/v1: vision-stream projections [B, H, S_v, D]; q2/k2/v2 text
+    [B, H, S_t, D]; masks additive [B, 1, 1, S].  Returns
+    (ctx1 [B, H, S_t, D], ctx2 [B, H, S_v, D]) matching the unfused
+    two-call formulation in models/vilbert.py:bi_attention.
+    """
+    b, h, s_v, d = q1.shape
+    s_t = q2.shape[2]
+
+    def key_bias(mask, s):
+        if mask is None:
+            bias = jnp.zeros((b, s), jnp.float32)
+        else:
+            assert mask.shape[1] == 1 and mask.shape[2] == 1, mask.shape
+            bias = mask.astype(jnp.float32).reshape(b, s)
+        return jnp.repeat(bias, h, axis=0).reshape(b * h, 1, s)
+
+    vbias = key_bias(v_mask, s_v)
+    tbias = key_bias(t_mask, s_t)
+
+    if train and (rate1 > 0.0 or rate2 > 0.0) and rng is not None:
+        seed = jax.random.randint(rng, (), 0,
+                                  np.iinfo(np.int32).max).astype(jnp.float32)
+    else:
+        seed = jnp.zeros((), jnp.float32)
+        rate1 = rate2 = 0.0
+
+    flat = lambda x, s: x.reshape(b * h, s, d)
+    ctx1, ctx2 = _fused_bi_attention(
+        flat(q1, s_v), flat(k1, s_v), flat(v1, s_v),
+        flat(q2, s_t), flat(k2, s_t), flat(v2, s_t),
+        vbias, tbias, seed, float(rate1), float(rate2), bool(train))
+    return ctx1.reshape(b, h, s_t, d), ctx2.reshape(b, h, s_v, d)
+
+
+def select_bi_attention_fn(cfg, platform: Optional[str] = None):
+    """Returns a fused bi-attention fn for models.vilbert.bi_attention, or
+    None to keep the two-call path (XLA or per-direction Pallas)."""
+    if not getattr(cfg, "use_pallas_attention", False):
+        return None
+    if platform is None:
+        platform = jax.default_backend()
+    if platform not in ("tpu", "axon"):
+        return None
+    return pallas_bi_attention
+
+
 def use_pallas_for(s_q: int, s_kv: int, d: int) -> bool:
     """Heuristic: the fused kernel pays off whenever the score matrix is
     big enough to matter (vision self-attention and both cross directions);

@@ -49,6 +49,66 @@ def warmup_linear_schedule(base_lr: float, warmup_steps: float,
     return fn
 
 
+def warmup_constant_schedule(base_lr: float, warmup_steps: float) -> Callable:
+    """Reference WarmupConstantSchedule (optimization.py:33-46): linear
+    warmup 0->1 over warmup_steps, then constant 1."""
+
+    def fn(step):
+        step = jnp.asarray(step, jnp.float32)
+        warm = step / jnp.maximum(1.0, warmup_steps)
+        return base_lr * jnp.where(step < warmup_steps, warm, 1.0)
+
+    return fn
+
+
+def warmup_cosine_schedule(base_lr: float, warmup_steps: float,
+                           t_total: float, cycles: float = 0.5) -> Callable:
+    """Reference WarmupCosineSchedule (optimization.py:64-83): linear warmup
+    then cosine decay 1->0 over the remaining steps (cycles=0.5 gives half a
+    cosine period, i.e. monotone decay)."""
+
+    def fn(step):
+        step = jnp.asarray(step, jnp.float32)
+        warm = step / jnp.maximum(1.0, warmup_steps)
+        progress = (step - warmup_steps) / jnp.maximum(
+            1.0, t_total - warmup_steps)
+        decay = jnp.maximum(
+            0.0, 0.5 * (1.0 + jnp.cos(jnp.pi * cycles * 2.0 * progress)))
+        return base_lr * jnp.where(step < warmup_steps, warm, decay)
+
+    return fn
+
+
+def warmup_cosine_hard_restarts_schedule(base_lr: float, warmup_steps: float,
+                                         t_total: float,
+                                         cycles: float = 1.0) -> Callable:
+    """Reference WarmupCosineWithHardRestartsSchedule
+    (optimization.py:86-103): after warmup, `cycles` cosine decays each
+    restarting at 1; exactly 0 once progress >= 1."""
+
+    def fn(step):
+        step = jnp.asarray(step, jnp.float32)
+        warm = step / jnp.maximum(1.0, warmup_steps)
+        progress = (step - warmup_steps) / jnp.maximum(
+            1.0, t_total - warmup_steps)
+        phase = jnp.mod(cycles * progress, 1.0)
+        decay = jnp.maximum(0.0, 0.5 * (1.0 + jnp.cos(jnp.pi * phase)))
+        decay = jnp.where(progress >= 1.0, 0.0, decay)
+        return base_lr * jnp.where(step < warmup_steps, warm, decay)
+
+    return fn
+
+
+SCHEDULES = {
+    "constant": lambda lr, warmup, total: constant_schedule(lr),
+    "warmup_constant": lambda lr, warmup, total:
+        warmup_constant_schedule(lr, warmup),
+    "warmup_linear": warmup_linear_schedule,
+    "warmup_cosine": warmup_cosine_schedule,
+    "warmup_cosine_hard_restarts": warmup_cosine_hard_restarts_schedule,
+}
+
+
 def make_schedule(args, steps_per_epoch: int) -> Callable:
     """Reference get_optimization schedule selection (vilbert_init.py:23-40)."""
     if (args.pretrain and args.no_scheduler) or args.ConstantLR:
@@ -59,7 +119,8 @@ def make_schedule(args, steps_per_epoch: int) -> Callable:
         * args.num_epochs
     warmup_steps = args.warmup_proportion * t_total
     adjusted = warmup_steps + args.cooldown_factor * (t_total - warmup_steps)
-    return warmup_linear_schedule(args.learning_rate, warmup_steps, adjusted)
+    name = getattr(args, "lr_schedule", "warmup_linear")
+    return SCHEDULES[name](args.learning_rate, warmup_steps, adjusted)
 
 
 # --------------------------------------------------------------------------- #

@@ -107,6 +107,12 @@ def get_parser() -> argparse.ArgumentParser:
     p.add_argument("--weight_decay", default=1e-2, type=float)
     p.add_argument("--no_scheduler", action="store_true", default=False)
     p.add_argument("--ConstantLR", action="store_true", default=False)
+    p.add_argument("--lr_schedule", default="warmup_linear",
+                   choices=["warmup_linear", "warmup_constant",
+                            "warmup_cosine",
+                            "warmup_cosine_hard_restarts"],
+                   help="LR decay family (reference optimization.py:26-103; "
+                        "all published recipes use warmup_linear)")
     p.add_argument("--resume", action="store_true", default=False)
     p.add_argument("--seed", type=int, default=1)
     p.add_argument("-j", "--num_workers", default=3, type=int)
