@@ -1,18 +1,13 @@
 """Step-time breakdown on the real chip: times jitted variants of the
-train step to locate the bottleneck (axon-safe timing: pipelined dispatch
-chain, readback at the end).
+train step to locate the bottleneck.
 
-  python scripts/profile_step.py full fwd encoder ...
+axon-safe timing: every dispatch gets a DIFFERENT input (axon memoizes
+identical-input dispatches), dispatches are pipelined, and every result is
+read back at the end (block_until_ready does not force execution).
 
-Variants:
-  full        fwd + all losses + bwd + AdamW (the bench step)
-  full_xla    same but use_pallas_attention=False
-  fwd         forward + losses only (no grad)
-  encoder     bert_model forward only (no heads, no losses)
-  enc_grad    encoder fwd+bwd with a sum() loss (no heads)
-  heads       full fwd minus encoder cost is inferred: fwd - encoder
-  noopt       fwd + losses + bwd, but no AdamW update
+  python scripts/profile_step.py full fwd encoder enc_grad heads ...
 """
+import functools
 import sys
 import time
 from pathlib import Path
@@ -56,16 +51,15 @@ def build_batch(cfg, bs, nc, s_t, s_v):
     return batch
 
 
-def time_fn(fn, args, n=8, reads=2):
-    """Returns ms/call; forces value readback (axon does not execute on
-    block_until_ready)."""
+def time_fn(fn, n=8, warmup=2):
+    """fn(i) -> pytree with at least one array output.  Dispatches n
+    distinct calls, then reads every output back."""
     import jax
-    out = None
-    for _ in range(reads):
-        out = fn(*args)
+    for i in range(warmup):
+        out = fn(1000 + i)
         float(np.asarray(jax.tree_util.tree_leaves(out)[0]).ravel()[0])
     t0 = time.perf_counter()
-    outs = [fn(*args) for _ in range(n)]
+    outs = [fn(i) for i in range(n)]
     for o in outs:
         float(np.asarray(jax.tree_util.tree_leaves(o)[0]).ravel()[0])
     return (time.perf_counter() - t0) / n * 1000
@@ -101,56 +95,90 @@ def main():
          "image_locations", "image_mask")}
     dflat = jax.device_put(flat)
 
+    def jitter(b, key):
+        # different input values every dispatch (axon memoizes repeats);
+        # numerically negligible
+        b = dict(b)
+        b["image_features"] = b["image_features"] + jax.random.uniform(
+            key, (), jnp.float32) * 1e-12
+        return b
+
     results = {}
     for name in variants:
-        if name in ("full", "full_xla", "noopt"):
-            import dataclasses
-            c = cfg if name != "full_xla" else dataclasses.replace(
+        import dataclasses
+        if name in ("full", "full_xla"):
+            c = cfg if name == "full" else dataclasses.replace(
                 cfg, use_pallas_attention=False)
             state, tx, _ = ts.create_train_state(dparams, args,
                                                  steps_per_epoch=1000)
-            if name == "noopt":
-                tasks = ts._task_config(args, training=True)
-                gf = jax.value_and_grad(ts.loss_fn, has_aux=True)
+            raw_step = ts.build_train_step(c, args, tx)
 
-                def raw(params, b, r):
-                    (_, m), g = gf(params, c, b, tasks, r, True)
-                    return m["loss/train"], g
-                step = jax.jit(raw)
-                fn = lambda r: step(dparams, dbatch, r)
-                ms = time_fn(lambda r: fn(r)[0:1],
-                             (jax.random.fold_in(rng_key, 1),))
-            else:
-                step = jax.jit(ts.build_train_step(c, args, tx))
-                st = state
-                # non-donated state (timing only; donation complicates reuse)
-                ms = time_fn(lambda r: step(st, dbatch, r)[1]["loss/train"],
-                             (jax.random.fold_in(rng_key, 1),))
-        elif name == "fwd":
+            @functools.partial(jax.jit, donate_argnums=(0,))
+            def step(st, b, key):
+                st, m = raw_step(st, jitter(b, key), key)
+                return st, m["loss/train"]
+
+            holder = [state]
+
+            def fn(i, holder=holder, step=step):
+                st, loss = step(holder[0], dbatch,
+                                jax.random.fold_in(rng_key, i))
+                holder[0] = st
+                return loss
+            ms = time_fn(fn)
+        elif name in ("fwd", "fwd_dense"):
+            b = dbatch
+            if name == "fwd_dense":
+                dense = dict(batch)
+                dense.pop("image_targets_idx")
+                dense["image_targets"] = np.full(
+                    (bs, nc, s_v, cfg.v_target_size),
+                    1.0 / cfg.v_target_size, np.float32)
+                b = jax.device_put(dense)
             tasks = ts._task_config(args, training=True)
-            step = jax.jit(lambda p, b: ts.loss_fn(p, cfg, b, tasks, None,
-                                                   False)[0])
-            ms = time_fn(lambda: step(dparams, dbatch), ())
-        elif name == "encoder":
-            step = jax.jit(lambda p, b: bert_model(
-                p, cfg, b["instr_tokens"], b["image_features"],
-                b["image_locations"], token_type_ids=b["segment_ids"],
-                attention_mask=b["instr_mask"],
-                image_attention_mask=b["image_mask"])[2])
-            ms = time_fn(lambda: step(dparams, dflat), ())
+
+            @jax.jit
+            def step(p, b, key):
+                return ts.loss_fn(p, cfg, jitter(b, key), tasks, None,
+                                  False)[0]
+            ms = time_fn(lambda i: step(dparams, b,
+                                        jax.random.fold_in(rng_key, i)))
+        elif name in ("encoder", "encoder_xla"):
+            c = cfg if name == "encoder" else dataclasses.replace(
+                cfg, use_pallas_attention=False)
+
+            @jax.jit
+            def step(p, b, key):
+                b = jitter(b, key)
+                return bert_model(
+                    p, c, b["instr_tokens"], b["image_features"],
+                    b["image_locations"], token_type_ids=b["segment_ids"],
+                    attention_mask=b["instr_mask"],
+                    image_attention_mask=b["image_mask"])[2]
+            ms = time_fn(lambda i: step(dparams, dflat,
+                                        jax.random.fold_in(rng_key, i)))
         elif name == "enc_grad":
-            def enc_loss(p, b):
+            def enc_loss(p, b, key):
+                b = jitter(b, key)
                 seq_t, seq_v, pt, pv = bert_model(
                     p, cfg, b["instr_tokens"], b["image_features"],
                     b["image_locations"], token_type_ids=b["segment_ids"],
                     attention_mask=b["instr_mask"],
                     image_attention_mask=b["image_mask"], train=True,
-                    rng=jax.random.PRNGKey(1))
+                    rng=key)
                 return (jnp.sum(seq_t.astype(jnp.float32) ** 2)
                         + jnp.sum(seq_v.astype(jnp.float32) ** 2))
-            step = jax.jit(lambda p, b: jax.grad(enc_loss)(p, b)
-                           ["t_pooler"]["w"].sum())
-            ms = time_fn(lambda: step(dparams, dflat), ())
+
+            @jax.jit
+            def step(p, b, key):
+                return jax.grad(enc_loss)(p, b, key)["t_pooler"]["w"].sum()
+            ms = time_fn(lambda i: step(dparams, dflat,
+                                        jax.random.fold_in(rng_key, i)))
+        elif name == "heads":
+            # forward + losses with the encoder output detached is awkward;
+            # report fwd - encoder instead
+            print("use: fwd - encoder")
+            continue
         else:
             print(f"unknown variant {name}")
             continue

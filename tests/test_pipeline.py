@@ -76,6 +76,171 @@ def test_zero_shot_captions():
 
 
 # --------------------------------------------------------------------------- #
+# Places365 indoor classifier (step 5a)
+# --------------------------------------------------------------------------- #
+def _ref_wideresnet():
+    import importlib.util
+    spec = importlib.util.spec_from_file_location(
+        "ref_wideresnet",
+        "/root/reference/scripts/video_process/wideresnet.py")
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_places365_matches_torch_reference(rng):
+    """Random-weight parity vs the vendored reference module
+    (wideresnet.py:96-171): logits + both hooked features."""
+    import torch
+    from youtube_vln_tpu.pipeline import places365 as P
+
+    wrn = _ref_wideresnet()
+    torch.manual_seed(0)
+    model = wrn.resnet18(num_classes=11).eval()
+    # the driver swaps in this avgpool (filter_outdoor_resnet_place365.py:144)
+    model.avgpool = torch.nn.AvgPool2d(kernel_size=14, stride=1, padding=0)
+
+    x = rng.normal(size=(2, 3, 224, 224)).astype(np.float32) * 0.5
+    feats = []
+    model.layer4.register_forward_hook(
+        lambda m, i, o: feats.append(o.detach().numpy()))
+    model.avgpool.register_forward_hook(
+        lambda m, i, o: feats.append(o.detach().numpy()))
+    with torch.no_grad():
+        ref_logits = model(torch.from_numpy(x)).numpy()
+
+    params = P.params_from_torch_state_dict(model.state_dict())
+    logits, layer4, pooled = P.places_forward(
+        params, np.transpose(x, (0, 2, 3, 1)))
+
+    np.testing.assert_allclose(np.asarray(logits), ref_logits,
+                               atol=2e-4, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(layer4),
+                               feats[0].transpose(0, 2, 3, 1), atol=2e-4,
+                               rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(pooled),
+                               feats[1].reshape(2, -1), atol=2e-4, rtol=1e-4)
+
+
+def test_places365_indoor_scorer_drives_filter(rng):
+    """score_batch/is_indoor/indoor_scores reproduce the reference vote
+    (filter_outdoor_resnet_place365.py:202-268) and feed
+    filters.indoor_filter."""
+    from youtube_vln_tpu.pipeline import places365 as P
+    import jax
+
+    params = P.init_places_params(jax.random.PRNGKey(0), num_classes=20)
+    labels_io = rng.integers(0, 2, size=20).astype(np.float64)
+    classes = [f"class{i}" for i in range(20)]
+    labels_attr = [f"attr{i}" for i in range(6)]
+    w_attr = rng.normal(size=(6, 512)).astype(np.float32)
+
+    frames = (rng.random((3, 40, 60, 3)) * 255).astype(np.uint8)
+    imgs = P.preprocess_images(frames)
+    assert imgs.shape == (3, 224, 224, 3)
+
+    dets = P.score_batch(params, imgs, labels_io=labels_io, classes=classes,
+                         labels_attribute=labels_attr, w_attribute=w_attr,
+                         num_cat=5, num_attr=4)
+    assert len(dets) == 3
+    for det in dets:
+        io_image, indoor = det["is_indoor"]
+        assert indoor == (io_image < 0.5)
+        assert len(det["category"]) == 5
+        assert len(det["attributes"]) == 3   # range(-1, -4, -1)
+        # categories sorted by prob desc
+        ps = [p for p, _ in det["category"]]
+        assert ps == sorted(ps, reverse=True)
+
+    scores = P.indoor_scores(params, frames, labels_io)
+    kept = FL.indoor_filter([0, 1, 2], scores)
+    expect = [i for i, det in enumerate(dets)
+              if det["is_indoor"][1]]
+    assert kept == expect
+
+
+# --------------------------------------------------------------------------- #
+# CLIP encoders (step 6 backbone)
+# --------------------------------------------------------------------------- #
+def test_clip_matches_hf_reference(rng):
+    """Random-weight parity vs transformers.CLIPModel (the HF port of the
+    OpenAI encoder the reference loads, precomute_CLIP_features.py:70-77):
+    get_image_features / get_text_features on a tiny config."""
+    import torch
+    from transformers import CLIPConfig, CLIPModel, CLIPTextConfig, \
+        CLIPVisionConfig
+    from youtube_vln_tpu.pipeline import clip_model as CM
+
+    vcfg = CLIPVisionConfig(hidden_size=32, intermediate_size=128,
+                            num_hidden_layers=2, num_attention_heads=2,
+                            image_size=32, patch_size=8,
+                            hidden_act="quick_gelu")
+    tcfg = CLIPTextConfig(hidden_size=24, intermediate_size=96,
+                          num_hidden_layers=2, num_attention_heads=2,
+                          vocab_size=50, max_position_embeddings=16,
+                          hidden_act="quick_gelu", eos_token_id=49)
+    hf_cfg = CLIPConfig.from_text_vision_configs(tcfg, vcfg,
+                                                 projection_dim=20)
+    torch.manual_seed(0)
+    model = CLIPModel(hf_cfg).eval()
+
+    cfg = CM.ClipConfig(image_size=32, patch_size=8, v_hidden=32, v_layers=2,
+                        v_heads=2, t_hidden=24, t_layers=2, t_heads=2,
+                        vocab_size=50, context_length=16, proj_dim=20)
+    params = CM.params_from_hf_state_dict(model.state_dict())
+
+    pixels = rng.normal(size=(2, 3, 32, 32)).astype(np.float32)
+    # eot (id 49, the max) at a distinct position per row; all others < 49
+    tokens = rng.integers(1, 48, size=(3, 16)).astype(np.int64)
+    for i, pos in enumerate((5, 11, 15)):
+        tokens[i, pos] = 49
+        tokens[i, pos + 1:] = 0
+
+    with torch.no_grad():
+        ref_img = model.get_image_features(torch.from_numpy(pixels)).numpy()
+        ref_txt = model.get_text_features(torch.from_numpy(tokens)).numpy()
+
+    img = CM.clip_image_features(params, cfg,
+                                 np.transpose(pixels, (0, 2, 3, 1)))
+    txt = CM.clip_text_features(params, cfg, tokens.astype(np.int32))
+    np.testing.assert_allclose(np.asarray(img), ref_img, atol=1e-4,
+                               rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(txt), ref_txt, atol=1e-4,
+                               rtol=1e-4)
+
+
+def test_clip_feeds_zero_shot_captions(rng):
+    """encode_video_frames -> zero_shot_captions end-to-end from pixels
+    (steps 6a+6b) with a random-init encoder."""
+    import jax
+    from youtube_vln_tpu.pipeline import clip_model as CM
+
+    cfg = CM.ClipConfig(image_size=32, patch_size=8, v_hidden=32, v_layers=2,
+                        v_heads=2, t_hidden=24, t_layers=2, t_heads=2,
+                        vocab_size=64, context_length=12, proj_dim=20)
+    params = CM.init_clip_params(jax.random.PRNGKey(0), cfg)
+
+    frames = (rng.random((3, 48, 48, 3)) * 255).astype(np.uint8)
+    emb = CM.encode_video_frames(params, cfg, frames, batch_size=2)
+    assert emb.shape == (3, 20) and emb.dtype == np.float32
+
+    def text_encoder(prompts):
+        toks = np.zeros((len(prompts), cfg.context_length), np.int32)
+        for i, p in enumerate(prompts):
+            h = abs(hash(p))
+            toks[i, :4] = [h % 31 + 1, h // 31 % 31 + 1, 63, 0][:4]
+        return np.asarray(CM.clip_text_features(params, cfg, toks))
+
+    area_emb = text_encoder([C.PROMPT.format(a) for a in C.AREAS])
+    obj_emb = text_encoder([C.PROMPT.format(o) for o in C.OBJECTS])
+    caps = C.zero_shot_captions(emb, area_emb, obj_emb)
+    assert len(caps) == 3
+    for cap in caps:
+        room, obj = cap.split(" with ", 1)
+        assert room in C.AREAS and obj in C.OBJECTS
+
+
+# --------------------------------------------------------------------------- #
 # inverse action model (JAX)
 # --------------------------------------------------------------------------- #
 def test_inverse_action_learns(rng):
@@ -104,6 +269,67 @@ def test_inverse_action_learns(rng):
     logits = IA.inverse_forward(params, jnp.asarray(fk), jnp.asarray(fk1))
     acc = float(np.mean(np.argmax(np.asarray(logits), -1) == y))
     assert acc > 0.8, acc
+
+
+def test_resnet18_backbone_matches_torch(rng):
+    """Torchvision-style trunk (conv1/bn/relu/maxpool/layer1-4) parity:
+    the reference ResNet class with the standard maxpool re-inserted is
+    exactly the torchvision resnet18 children()[:-2] pair encoder
+    (inverse_model.py:36-44)."""
+    import torch
+    from youtube_vln_tpu.pipeline import places365 as P
+
+    wrn = _ref_wideresnet()
+    torch.manual_seed(1)
+    model = wrn.resnet18(num_classes=5).eval()
+    mp = torch.nn.MaxPool2d(kernel_size=3, stride=2, padding=1)
+
+    x = rng.normal(size=(1, 3, 224, 224)).astype(np.float32) * 0.5
+    with torch.no_grad():
+        h = model.relu(model.bn1(model.conv1(torch.from_numpy(x))))
+        h = mp(h)
+        ref = model.layer4(model.layer3(model.layer2(model.layer1(h))))
+    ref = ref.numpy().transpose(0, 2, 3, 1)
+
+    params = P.params_from_torch_state_dict(model.state_dict())
+    out = P.resnet18_backbone_forward(params, np.transpose(x, (0, 2, 3, 1)),
+                                      maxpool=True)
+    assert out.shape == (1, 7, 7, 512)
+    np.testing.assert_allclose(np.asarray(out), ref, atol=2e-4, rtol=1e-4)
+
+
+def test_inverse_action_learns_from_images():
+    """Step 7 from raw frames: frozen random ResNet-18 features + the conv
+    head must decode a synthetic action encoded in the next frame."""
+    import jax
+    from youtube_vln_tpu.pipeline import places365 as P
+
+    rng = np.random.default_rng(5)  # local: independent of test order
+    backbone = P.init_places_params(jax.random.PRNGKey(3), num_classes=3)
+    n = 25
+    actions = rng.integers(0, 3, size=n - 1).astype(np.int32)
+    images = np.zeros((n, 32, 32, 3), np.uint8)
+    images[0] = (rng.random((32, 32, 3)) * 60).astype(np.uint8)
+    for i, a in enumerate(actions):
+        base = (rng.random((32, 32, 3)) * 60).astype(np.uint8)
+        base[..., :] += np.uint8(60 * a)        # action -> brightness level
+        images[i + 1] = base
+
+    params, losses = IA.train_inverse_model_from_images(
+        images, actions, backbone, steps=80, lr=3e-3, feat_channels=512,
+        seed=0)
+    assert losses[-1] < losses[0]
+
+    feats = IA.encode_frames(backbone, images)
+    import jax.numpy as jnp
+    logits = IA.inverse_forward(params, jnp.asarray(feats[:-1]),
+                                jnp.asarray(feats[1:]))
+    acc = float(np.mean(np.argmax(np.asarray(logits), -1) == actions))
+    assert acc > 0.7, acc
+    # predict_actions maps the same logits onto the action vocabulary
+    names = IA.predict_actions(params, list(feats))
+    assert len(names) == n - 1
+    assert set(names) <= set(IA.ACTIONS)
 
 
 def test_action_profiles(tmp_path):

@@ -4,12 +4,17 @@
 Steps and their homes:
   1  video download manifest                -> assets.py (gated, no egress)
   2  frame extraction @1fps (ffmpeg)        -> frames.py
-  3  region features (detector)             -> detector.py (pluggable; the
-       reference's Caffe BUTD is an external dependency there too)
+  3  region features (detector)             -> detector.py (protocol +
+       multi-process sharded driver; the reference's Caffe BUTD net is an
+       external dependency there too)
   4  TSV -> feature-store conversion        -> detector.py
-  5  indoor / person filters                -> filters.py (pluggable scorers)
-  6  CLIP frame features + zero-shot
-       "room with object" captions          -> clip_captions.py
+  5a indoor filter (WideResNet-18 Places365
+       in JAX, torch-weight import)         -> places365.py + filters.py
+  5b person filter artifacts                -> filters.py (pluggable scorer;
+       the Mask-RCNN weights are external)
+  6  CLIP ViT-B/32 encoders (JAX, HF-weight
+       import) + zero-shot captions         -> clip_model.py +
+                                               clip_captions.py
   7  inverse action model (JAX)             -> inverse_action.py
   8  per-video action profiles              -> inverse_action.py
   9  train/test JSON build + frozen testset -> build_dataset.py

@@ -99,6 +99,50 @@ def train_inverse_model(pairs: Iterator[Tuple[np.ndarray, np.ndarray,
     return params, [float(x) for x in losses]
 
 
+def encode_frames(backbone_params, images_uint8: np.ndarray,
+                  batch_size: int = 64) -> np.ndarray:
+    """Frozen ResNet-18 pair-encoder features from raw frames
+    (reference inverse_model.py:36-44 + util/torch.py imageNetTransformPIL):
+    [N, H, W, 3] uint8 -> [N, 7, 7, 512] float32 at 224 input."""
+    from .places365 import preprocess_images, resnet18_backbone_forward
+
+    fn = jax.jit(lambda px: resnet18_backbone_forward(backbone_params, px))
+    chunks = []
+    for s in range(0, len(images_uint8), batch_size):
+        px = preprocess_images(images_uint8[s:s + batch_size])
+        chunks.append(np.asarray(fn(jnp.asarray(px)), np.float32))
+    return np.concatenate(chunks, axis=0)
+
+
+def image_pair_batches(images_uint8: np.ndarray, actions: np.ndarray,
+                       backbone_params, *, batch_size: int = 32,
+                       seed: int = 0) -> Iterator[Tuple[np.ndarray,
+                                                        np.ndarray,
+                                                        np.ndarray]]:
+    """(frame_k, frame_k+1, action) batches from raw frames through the
+    frozen backbone — the Gibson/Habitat training plumbing equivalent
+    (reference image_streams.py feeds PIL pairs the same way).  ``actions``
+    labels the transition images[i] -> images[i+1]."""
+    feats = encode_frames(backbone_params, images_uint8)
+    fk, fk1 = feats[:-1], feats[1:]
+    y = np.asarray(actions, np.int32)
+    assert len(y) == len(fk)
+    rng = np.random.default_rng(seed)
+    while True:
+        sel = rng.integers(0, len(fk), size=batch_size)
+        yield fk[sel], fk1[sel], y[sel]
+
+
+def train_inverse_model_from_images(images_uint8: np.ndarray,
+                                    actions: np.ndarray, backbone_params,
+                                    **train_kw):
+    """Step 7 end-to-end from frames: frozen ResNet-18 features + the conv
+    head (inverse_model.py:47-88)."""
+    batches = image_pair_batches(images_uint8, actions, backbone_params,
+                                 seed=train_kw.get("seed", 0))
+    return train_inverse_model(batches, **train_kw)
+
+
 def predict_actions(params, feats: Sequence[np.ndarray]) -> List[str]:
     """Actions between consecutive frames: len(feats)-1 predictions."""
     if len(feats) < 2:
