@@ -126,6 +126,55 @@ def main():
                 holder[0] = st
                 return loss
             ms = time_fn(fn)
+        elif name in ("full_nodrop", "full_rbg"):
+            c = dataclasses.replace(
+                cfg, hidden_dropout_prob=0.0, attention_probs_dropout_prob=0.0,
+                v_hidden_dropout_prob=0.0,
+                v_attention_probs_dropout_prob=0.0) \
+                if name == "full_nodrop" else cfg
+            if name == "full_rbg":
+                jax.config.update("jax_default_prng_impl", "rbg")
+            state, tx, _ = ts.create_train_state(dparams, args,
+                                                 steps_per_epoch=1000)
+            raw_step = ts.build_train_step(c, args, tx)
+
+            @functools.partial(jax.jit, donate_argnums=(0,))
+            def step(st, b, key):
+                st, m = raw_step(st, jitter(b, key), key)
+                return st, m["loss/train"]
+
+            holder = [state]
+
+            def fn(i, holder=holder, step=step):
+                st, loss = step(holder[0], dbatch,
+                                jax.random.fold_in(rng_key, i))
+                holder[0] = st
+                return loss
+            ms = time_fn(fn)
+            if name == "full_rbg":
+                jax.config.update("jax_default_prng_impl", "threefry2x32")
+        elif name == "noopt":
+            tasks = ts._task_config(args, training=True)
+            gf = jax.value_and_grad(ts.loss_fn, has_aux=True)
+
+            @jax.jit
+            def step(p, b, key):
+                (_, m), g = gf(p, cfg, jitter(b, key), tasks, key, True)
+                # consume every gradient leaf so nothing is pruned
+                tot = sum(jnp.sum(jnp.square(x.astype(jnp.float32)))
+                          for x in jax.tree_util.tree_leaves(g))
+                return m["loss/train"] + 0.0 * tot
+            ms = time_fn(lambda i: step(dparams, dbatch,
+                                        jax.random.fold_in(rng_key, i)))
+        elif name == "fwd_train":
+            tasks = ts._task_config(args, training=True)
+
+            @jax.jit
+            def step(p, b, key):
+                return ts.loss_fn(p, cfg, jitter(b, key), tasks, key,
+                                  True)[0]
+            ms = time_fn(lambda i: step(dparams, dbatch,
+                                        jax.random.fold_in(rng_key, i)))
         elif name in ("fwd", "fwd_dense"):
             b = dbatch
             if name == "fwd_dense":

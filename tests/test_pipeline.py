@@ -56,6 +56,121 @@ def test_extractor_to_store(tmp_path):
 
 
 # --------------------------------------------------------------------------- #
+# step-3 sharded extraction driver (multi-process, resume-from-partial)
+# --------------------------------------------------------------------------- #
+def _make_frames_tree(root, n_videos=2, n_frames=6):
+    from PIL import Image
+    rng = np.random.default_rng(1)
+    photos = []
+    for v in range(n_videos):
+        d = root / f"vid{v}"
+        d.mkdir(parents=True)
+        for f in range(n_frames):
+            img = (rng.random((24, 32, 3)) * 255).astype(np.uint8)
+            p = d / f"{f:04d}.jpg"
+            Image.fromarray(img).save(p)
+            photos.append(p)
+    return photos
+
+
+def _extractor_factory(shard_id):
+    return D.RandomProposalExtractor(num_boxes=4, seed=shard_id)
+
+
+def test_extraction_sharded_pool_and_resume(tmp_path):
+    """11-shard-style TSV production with a worker pool; a second run
+    resumes from the partial output and only processes pending photos
+    (reference precompute_...py:205-259,459-567)."""
+    from youtube_vln_tpu.pipeline import extraction as E
+
+    frames = tmp_path / "raw_frames"
+    photos = _make_frames_tree(frames)
+    out = tmp_path / "img_features"
+
+    # full first pass through the worker pool: 3 shards, all photos
+    n1 = E.run_extraction(frames, out, _extractor_factory, num_splits=3,
+                          num_workers=3)
+    shards = sorted(out.glob("ResNet-101-faster-rcnn-genome-*.tsv"))
+    assert len(shards) == 3
+    assert n1 == len(photos)
+
+    # simulate an interrupted run: shard 2 lost all but its first row
+    lines = shards[2].read_text().splitlines(keepends=True)
+    assert len(lines) == 4
+    shards[2].write_text(lines[0])
+
+    # resume: pending = all - finished; the caches must be rebuilt
+    for f in (out / "Extra").glob("*.txt"):
+        f.unlink()
+    n2 = E.run_extraction(frames, out, _extractor_factory, num_splits=3,
+                          num_workers=3, start=0)
+    assert n2 == 3  # exactly the truncated rows are re-extracted
+
+    # every photo lands in the store exactly once
+    store_path = tmp_path / "all.vlnstore"
+    shards = sorted(out.glob("ResNet-101-faster-rcnn-genome-*.tsv"))
+    n = D.convert_tsv_to_store(shards, store_path)
+    assert n == len(photos)
+    from youtube_vln_tpu.data.store import Store
+    st = Store(store_path)
+    assert set(st.keys) == {f"vid{v}/{f:04d}" for v in range(2)
+                            for f in range(6)}
+    rec = st.get("vid0/0000")
+    assert rec.features.shape == (4, 2048)
+
+
+def test_extraction_shard_count_guard(tmp_path):
+    """Mismatched shard count aborts, like the reference main (:532-538)."""
+    from youtube_vln_tpu.pipeline import extraction as E
+    frames = tmp_path / "raw_frames"
+    _make_frames_tree(frames, n_videos=1, n_frames=2)
+    out = tmp_path / "img_features"
+    out.mkdir()
+    (out / E.SHARD_TEMPLATE.format(0)).touch()
+    (out / E.SHARD_TEMPLATE.format(1)).touch()
+    with pytest.raises(ValueError, match="not equal to the number"):
+        E.run_extraction(frames, out, _extractor_factory, num_splits=5,
+                         num_workers=1)
+
+
+def test_redundancy_filter_keeps_best(rng):
+    """Near-duplicate features: the lower-scoring member of the closest
+    pair is dropped first (reference filter, :411-452)."""
+    from youtube_vln_tpu.pipeline import extraction as E
+
+    feats = rng.normal(size=(6, 32)).astype(np.float32)
+    feats[1] = feats[0] + 1e-4        # near-duplicate pair (0, 1)
+    heading = np.zeros((6, 1), np.float32)
+    cls_prob = rng.random((6, 10)).astype(np.float32)
+    cls_prob[0, 1:] = 0.9             # 0 outscores 1
+    cls_prob[1, 1:] = 0.1
+    record = {
+        "features": feats, "boxes": rng.random((6, 4)).astype(np.float32),
+        "cls_prob": cls_prob, "attr_prob": np.zeros((6, 0), np.float32),
+        "featureViewIndex": np.zeros((6, 1), np.float32),
+        "featureHeading": heading,
+        "featureElevation": np.zeros((6, 1), np.float32),
+    }
+    E.redundancy_filter(record, max_boxes=5)
+    assert record["features"].shape[0] == 5
+    # row 1 (the weaker duplicate) is gone; row 0 survives
+    assert not any(np.allclose(record["features"][i], feats[1])
+                   for i in range(5))
+    assert any(np.allclose(record["features"][i], feats[0])
+               for i in range(5))
+
+
+def test_box_orientation_wraps():
+    from youtube_vln_tpu.pipeline import extraction as E
+    boxes = np.array([[0, 0, 600, 600],        # centered -> heading 0
+                      [500, 0, 600, 100]], np.float32)
+    heading, elevation = E.compute_box_orientation(boxes, 600, 600)
+    assert abs(heading[0, 0]) < 1e-6
+    assert heading[1, 0] > 0 and elevation[1, 0] > 0
+    assert (-np.pi < heading).all() and (heading <= np.pi).all()
+
+
+# --------------------------------------------------------------------------- #
 # captions
 # --------------------------------------------------------------------------- #
 def test_zero_shot_captions():

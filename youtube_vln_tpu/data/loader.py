@@ -188,6 +188,10 @@ class Loader:
         self.num_workers = num_workers
         self.use_shared_memory = use_shared_memory
         self.epoch = 0
+        # slab-overflow fallbacks (items too big for the shared-memory
+        # transport, silently pickled otherwise) — kept loud on purpose:
+        # each one is a ~40-90 MB pickle on the hot path
+        self.shm_fallbacks = 0
 
     def set_epoch(self, epoch: int):
         self.epoch = epoch
@@ -290,6 +294,15 @@ class Loader:
                             buf.append(_unpack_from_slab(slabs[slot], schema))
                             used_slots.append(slot)
                         else:
+                            self.shm_fallbacks += 1
+                            if self.shm_fallbacks == 1:
+                                logging.getLogger(__name__).warning(
+                                    "loader item exceeded the shared-memory "
+                                    "slab (%d bytes); falling back to pickle "
+                                    "transport — this is a performance "
+                                    "cliff (loader.shm_fallbacks counts "
+                                    "occurrences)", slabs[0].size
+                                    if slabs else -1)
                             buf.append(res[1])
                         if len(buf) == self.batch_size:
                             yield collate(buf, self.nc, self.with_instr_id)

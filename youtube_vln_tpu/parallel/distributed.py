@@ -33,9 +33,17 @@ def initialize(coordinator_address: Optional[str] = None,
     On Cloud TPU the arguments are auto-detected from the metadata server;
     explicit values mirror the reference's RANK / SLURM_PROCID / NODE_RANK
     resolution chain (utils/distributed.py:37-60).
+
+    Must run before any other jax call touches the backend (probing
+    jax.process_count() here would itself initialize a single-process
+    backend and break the rendezvous).
     """
-    if jax.process_count() > 1:
-        return  # already initialized
+    try:
+        from jax._src.distributed import global_state
+        if global_state.client is not None:
+            return  # already initialized
+    except Exception:
+        pass
     env = os.environ
     if coordinator_address is None:
         coordinator_address = env.get("COORDINATOR_ADDRESS")
