@@ -126,12 +126,24 @@ def main():
                 holder[0] = st
                 return loss
             ms = time_fn(fn)
-        elif name in ("full_nodrop", "full_rbg"):
-            c = dataclasses.replace(
-                cfg, hidden_dropout_prob=0.0, attention_probs_dropout_prob=0.0,
-                v_hidden_dropout_prob=0.0,
-                v_attention_probs_dropout_prob=0.0) \
-                if name == "full_nodrop" else cfg
+        elif name in ("full_nodrop", "full_rbg", "full_noattndrop",
+                      "full_nohiddendrop"):
+            if name == "full_nodrop":
+                c = dataclasses.replace(
+                    cfg, hidden_dropout_prob=0.0,
+                    attention_probs_dropout_prob=0.0,
+                    v_hidden_dropout_prob=0.0,
+                    v_attention_probs_dropout_prob=0.0)
+            elif name == "full_noattndrop":
+                c = dataclasses.replace(
+                    cfg, attention_probs_dropout_prob=0.0,
+                    v_attention_probs_dropout_prob=0.0)
+            elif name == "full_nohiddendrop":
+                c = dataclasses.replace(
+                    cfg, hidden_dropout_prob=0.0,
+                    v_hidden_dropout_prob=0.0)
+            else:
+                c = cfg
             if name == "full_rbg":
                 jax.config.update("jax_default_prng_impl", "rbg")
             state, tx, _ = ts.create_train_state(dparams, args,

@@ -190,3 +190,70 @@ def test_sparse_vision_loss_equals_dense(rng):
     dense = float(masked_vision_loss(pred, targets, tmask1, row_mask))
     sparse = float(masked_vision_loss_sparse(pred, idx, rows, row_mask))
     assert sparse == pytest.approx(dense, rel=1e-5)
+
+
+def test_sparse_task_heads_equal_dense(rng):
+    """sparse_task_heads gathers target positions before the MLM / vision
+    decoders (parallel/train_step.py:loss_fn); every task loss must equal
+    the dense-head computation exactly."""
+    import jax
+    from youtube_vln_tpu.config import tiny_config, RunConfig
+    from youtube_vln_tpu.models import init_lily_params
+    from youtube_vln_tpu.ops.masking import (max_masked_regions,
+                                             randomize_regions_sparse_np)
+    from youtube_vln_tpu.parallel import train_step as ts
+
+    cfg = tiny_config(ranking=True, traj_judge=True, masked_vision=True,
+                      masked_language=True)
+    params = init_lily_params(jax.random.PRNGKey(0), cfg)
+    bs, nc, s_t, s_v = 2, 3, 12, 10
+
+    probs = rng.random((bs * nc, s_v, cfg.v_target_size)).astype(np.float32)
+    probs /= probs.sum(-1, keepdims=True)
+    feats = rng.normal(size=(bs * nc, s_v,
+                             cfg.v_feature_size)).astype(np.float32)
+    mask = np.ones((bs * nc, s_v), np.int32)
+    f2, idx, rows, tmask = randomize_regions_sparse_np(
+        feats.copy(), probs, mask, np.random.default_rng(3))
+    m_cap = max_masked_regions(s_v)
+    dense_targets = np.full_like(probs, 1.0 / cfg.v_target_size)
+    for i in range(bs * nc):
+        for j in range(m_cap):
+            if idx[i, j] < s_v:
+                dense_targets[i, idx[i, j]] = rows[i, j]
+
+    batch = {
+        "instr_tokens": rng.integers(1, cfg.vocab_size, (bs, nc, s_t)),
+        "instr_mask": np.ones((bs, nc, s_t), np.int32),
+        "segment_ids": np.zeros((bs, nc, s_t), np.int32),
+        "instr_targets": np.where(rng.random((bs, nc, s_t)) < 0.3,
+                                  rng.integers(0, cfg.vocab_size,
+                                               (bs, nc, s_t)), -1),
+        "image_features": f2.reshape(bs, nc, s_v, -1),
+        "image_locations": rng.random((bs, nc, s_v, 12)).astype(np.float32),
+        "image_mask": mask.reshape(bs, nc, s_v),
+        "image_targets": rows.reshape(bs, nc, m_cap, -1),
+        "image_targets_idx": idx.reshape(bs, nc, m_cap),
+        "image_targets_mask": tmask.reshape(bs, nc, s_v),
+        "opt_mask": np.ones((bs, nc), bool),
+        "ranking_target": np.zeros((bs,), np.int32),
+    }
+    batch["image_locations"][..., 11] = 0
+    dense_batch = dict(batch)
+    dense_batch.pop("image_targets_idx")
+    dense_batch["image_targets"] = dense_targets.reshape(bs, nc, s_v, -1)
+
+    args_sparse = RunConfig(ranking=True, traj_judge=True, masked_vision=True,
+                            masked_language=True, pretrain=True,
+                            sparse_task_heads=True)
+    args_dense = RunConfig(ranking=True, traj_judge=True, masked_vision=True,
+                           masked_language=True, pretrain=True,
+                           sparse_task_heads=False)
+
+    t_sparse = ts._task_config(args_sparse, training=True)
+    t_dense = ts._task_config(args_dense, training=True)
+    _, m_sp = ts.loss_fn(params, cfg, batch, t_sparse, None, False)
+    _, m_dn = ts.loss_fn(params, cfg, dense_batch, t_dense, None, False)
+    for k in ("loss/vision", "loss/language", "loss/ranking", "loss/traj",
+              "loss/train"):
+        assert float(m_sp[k]) == pytest.approx(float(m_dn[k]), rel=1e-5), k

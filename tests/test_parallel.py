@@ -145,6 +145,34 @@ def test_grad_accumulation_equivalence(setup, rng):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-3)
 
 
+def test_mesh_shape_cli_entry(tmp_path):
+    """--mesh_shape 4 2 drives the full pretrain entry on a dataxmodel
+    mesh (engine builds the mesh from RunConfig.mesh_shape; previously only
+    the unit-level DP4xTP2 step was exercised)."""
+    from conftest import load_entry
+    from youtube_vln_tpu.data import fixtures as F
+
+    paths = F.build_full_fixture(tmp_path / "data")
+    pretrain = load_entry("pretrain")
+    best = pretrain.main([
+        "--max_instruction_length", "32", "--max_path_length", "4",
+        "--max_num_boxes", "5", "--min_path_length", "3",
+        "--min_captioned", "2", "--max_captioned", "4",
+        "--compute_dtype", "float32", "--num_epochs", "1",
+        "--learning_rate", "1e-4", "--batch_size", "4", "--num_workers", "0",
+        "--data_dir", paths["data_dir"],
+        "--bert_tokenizer", paths["vocab_path"],
+        "--config_file", paths["config_file"],
+        "--from_pretrained", "",
+        "--output_dir", str(tmp_path / "result"),
+        "--ytb_feature", paths["ytb_store"],
+        "--skeleton_path", paths["skeleton_path"],
+        "--pre_dataset", "ytb", "--prefix", "merge+",
+        "--ranking", "--save_name", "mesh42",
+        "--mesh_shape", "4", "2"])
+    assert "ranking" in best and 0.0 <= best["ranking"] <= 1.0
+
+
 def test_eval_step(setup, rng):
     cfg, args, params = setup
     ev = ts.build_eval_step(cfg, args)

@@ -275,6 +275,54 @@ def test_places365_indoor_scorer_drives_filter(rng):
 
 
 # --------------------------------------------------------------------------- #
+# step-5b driver logic (smoothing + artifact, person model pluggable)
+# --------------------------------------------------------------------------- #
+def test_maskrcnn_driver_smoothing_and_artifact():
+    """indoor_probability / gaussian+window smoothing / filter_frames
+    reproduce filter_outdoor_maskrcnn_coco.py:114-166 semantics."""
+    # indoor probability = mass of indoor classes among the top-10
+    probs = np.zeros(20)
+    probs[3], probs[7], probs[11] = 0.5, 0.3, 0.2
+    is_indoor = np.zeros(20)
+    is_indoor[3] = 1
+    is_indoor[11] = 1
+    assert FL.indoor_probability(probs, is_indoor) == pytest.approx(0.7)
+
+    # a short outdoor blip inside a long indoor run is smoothed away
+    io = [0.9] * 10 + [0.1] + [0.9] * 10
+    sm = FL.gaussian_smooth_round(io, sigma=6)
+    assert sm.tolist() == [1] * 21
+
+    # person flags: isolated detection vanishes; the reference's in-place
+    # cascade (round-half-even at exactly 0.5) only lets runs survive when
+    # they reach into the untouched leading window
+    person = [0] * 8 + [1] + [0] * 8
+    assert FL.smooth_window_round(person).sum() == 0
+    person = [1] * 9 + [0] * 8
+    assert FL.smooth_window_round(person).sum() > 0
+
+    files = ["%04d.jpg" % i for i in range(21)]
+    data = FL.filter_frames(io, [False] * 21, files)
+    assert data["indoor_locs"] == files
+    assert data["person_locs"] == []
+
+
+def test_places365_feeds_maskrcnn_driver():
+    """Step 5b end-to-end from pixels with the JAX Places365 scorer."""
+    import jax
+    from youtube_vln_tpu.pipeline import places365 as P
+
+    rng = np.random.default_rng(11)
+    params = P.init_places_params(jax.random.PRNGKey(1), num_classes=16)
+    frames = (rng.random((5, 36, 48, 3)) * 255).astype(np.uint8)
+    is_indoor = rng.integers(0, 2, 16)
+    probs = FL.places365_indoor_probs(params, frames, is_indoor,
+                                      batch_size=2)
+    assert len(probs) == 5
+    assert all(0.0 <= p <= 1.0 + 1e-6 for p in probs)
+
+
+# --------------------------------------------------------------------------- #
 # CLIP encoders (step 6 backbone)
 # --------------------------------------------------------------------------- #
 def test_clip_matches_hf_reference(rng):
@@ -511,6 +559,84 @@ def test_merge_least_bounds_group_size():
     for f in frames:
         sizes.setdefault(tuple(sorted(f["merging"])), 0)
     assert all(len(k) <= 6 for k in sizes)  # ceil(9/4)=3 groups
+
+
+# --------------------------------------------------------------------------- #
+# asset manifest + cached_path (reference scripts/download.py +
+# vilbert/file_utils.py)
+# --------------------------------------------------------------------------- #
+def test_cached_path_modes(tmp_path):
+    from youtube_vln_tpu.utils import file_cache as FC
+
+    # local paths pass through
+    local = tmp_path / "x.json"
+    local.write_text("{}")
+    assert FC.cached_path(local) == local
+
+    # cached URL resolves by sha256 name without touching the network
+    url = "https://example.com/beams.json"
+    cache = tmp_path / "cache"
+    cache.mkdir()
+    blob = cache / FC.url_to_filename(url)
+    blob.write_text("cached")
+    assert FC.cached_path(url, cache_dir=cache) == blob
+
+    # uncached remote fetch is gated with actionable guidance
+    with pytest.raises(FileNotFoundError, match="downloads are disabled"):
+        FC.cached_path("https://example.com/missing.bin", cache_dir=cache)
+
+    # etag-suffixed naming + metadata sidecar round-trip
+    name = FC.url_to_filename(url, etag='"abc"')
+    assert name.startswith(FC.url_to_filename(url)) and "." in name
+    (cache / (name + ".json")).write_text(
+        json.dumps({"url": url, "etag": '"abc"'}))
+    got_url, got_etag = FC.filename_to_url(name, cache_dir=cache)
+    assert (got_url, got_etag) == (url, '"abc"')
+
+    # s3 path splitting (file_utils.py:109-120)
+    assert FC.split_s3_path("s3://bucket/a/b.bin") == ("bucket", "a/b.bin")
+    with pytest.raises(ValueError):
+        FC.split_s3_path("s3://bucketonly")
+
+
+def test_asset_manifest_complete(tmp_path):
+    from youtube_vln_tpu.pipeline import assets as A
+
+    # every reference download category is represented
+    assert len(A.BEAMSEARCH_ASSETS) == 7      # beams x4 + scores x3
+    assert len(A.TASK_ASSETS) == 4            # R2R_{test,train,val_*}
+    assert len(A.SPEAKER_ASSETS) == 2
+    assert len(A.CONFIG_ASSETS) == 1
+    conn = A.connectivity_manifest()
+    assert len(conn) == 92                    # 90 scans + README + scans.txt
+    assert ("data/connectivity/17DRP5sb8fy_connectivity.json" in conn)
+
+    # offline: everything is reported missing with guidance, nothing hangs
+    missing = A.fetch_all(data_dir=tmp_path / "data")
+    assert set(missing) == set(A.ASSETS)
+
+    # locally-present assets resolve
+    local = tmp_path / "data" / "task"
+    local.mkdir(parents=True)
+    (local / "R2R_test.json").write_text("[]")
+    assert A.fetch("data/task/R2R_test.json",
+                   data_dir=tmp_path / "data") is not None
+
+
+def test_generate_distances_from_connectivity(tmp_path):
+    """Distance tables regenerate from the fixture connectivity graphs
+    (reference download.py:216-299)."""
+    from youtube_vln_tpu.data import fixtures as F
+    from youtube_vln_tpu.pipeline import assets as A
+
+    F.build_r2r_fixture(tmp_path / "data")
+    for p in (tmp_path / "data" / "distances").glob("*.json"):
+        p.unlink()
+    written = A.generate_distances(tmp_path / "data")
+    assert len(written) == 2
+    d = json.loads(written[0].read_text())
+    some_vp = next(iter(d))
+    assert d[some_vp][some_vp] == 0.0
 
 
 # --------------------------------------------------------------------------- #

@@ -246,6 +246,10 @@ class RunConfig:
     sparse_vision_targets: bool = False  # ship only masked-region target
                                          # rows (~10x smaller) and compute
                                          # the KL on gathered rows in-graph
+    sparse_task_heads: bool = True  # run the MLM / masked-vision decoders
+                                    # only on positions that carry targets
+                                    # (loss-exact; the dense heads waste
+                                    # ~85% of their FLOPs on ignored rows)
     use_pallas_attention: bool = True
     remat: bool = False
     profile_dir: str = ""

@@ -398,12 +398,19 @@ def bert_model(params, cfg: LilyConfig, instr_tokens, image_features,
 def lily_forward(params, cfg: LilyConfig, instr_tokens, image_features,
                  image_locations, token_type_ids=None, attention_mask=None,
                  image_attention_mask=None, *, rng=None, train=False,
-                 attention_fn=None) -> Dict[str, jnp.ndarray]:
+                 attention_fn=None, language_target_idx=None,
+                 vision_target_idx=None) -> Dict[str, jnp.ndarray]:
     """Reference Lily.forward (lily.py:58-129).
 
     Returns float32 outputs keyed by enabled tasks:
       ranking  [N, 1]       vision [N, S_v, v_target]
       traj     [N, 1]       language [N, S_t, vocab]
+
+    ``language_target_idx`` / ``vision_target_idx`` ([N, M] position
+    indices) restrict the masked-prediction heads to the rows that carry
+    targets — loss-equivalent to the dense heads (the losses ignore every
+    other position) at a fraction of the decoder FLOPs; outputs become
+    [N, M, vocab] / [N, M, v_target] aligned with the given indices.
     """
     rngs = jax.random.split(rng, 3) if rng is not None else (None,) * 3
     seq_t, seq_v, pooled_t, pooled_v = bert_model(
@@ -413,11 +420,21 @@ def lily_forward(params, cfg: LilyConfig, instr_tokens, image_features,
 
     outputs: Dict[str, jnp.ndarray] = {}
     if cfg.masked_language:
-        lm = mlm_head(params["cls"], params["text_embed"]["word"], cfg, seq_t)
+        h = seq_t
+        if language_target_idx is not None:
+            h = jnp.take_along_axis(
+                seq_t, language_target_idx[..., None].astype(jnp.int32),
+                axis=1)
+        lm = mlm_head(params["cls"], params["text_embed"]["word"], cfg, h)
         outputs["language"] = lm.astype(jnp.float32)
     if cfg.masked_vision:
+        hv = seq_v
+        if vision_target_idx is not None:
+            hv = jnp.take_along_axis(
+                seq_v, vision_target_idx[..., None].astype(jnp.int32),
+                axis=1)
         outputs["vision"] = image_head(params["cls"]["img_head"], cfg,
-                                       seq_v).astype(jnp.float32)
+                                       hv).astype(jnp.float32)
 
     if cfg.ranking or cfg.traj_judge:
         pooled = fuse_pooled(cfg, pooled_t, pooled_v)

@@ -64,23 +64,71 @@ def _task_config(args: RunConfig, training: bool) -> Dict[str, Any]:
                 pretrain=args.pretrain, num_negatives=args.num_negatives,
                 traj_loss_scale=args.traj_loss_scale,
                 not_traj_judge_data=args.not_traj_judge_data,
+                sparse_task_heads=getattr(args, "sparse_task_heads", False),
                 training=training)
+
+
+# static cap on target-carrying text positions per row: the 15% ladder
+# masks ~0.15*S_t in expectation; 32 of 60 is >8 sigma of headroom (same
+# reasoning as ops/masking.py:max_masked_regions)
+MAX_LANGUAGE_TARGETS = 32
+
+
+def fast_dropout_key(key):
+    """Re-wrap a threefry key as an ``rbg`` key (XLA RngBitGenerator).
+
+    Dropout-mask generation with threefry costs ~120 ms/step at the
+    flagship geometry (~32% of the step, measured on v5e); the hardware
+    generator removes almost all of it.  RNG parity with the reference is
+    statistical by policy (torch CPU RNG differs anyway), so the dropout
+    mask distribution is all that matters.  No-op for keys that are
+    already rbg."""
+    if jax.dtypes.issubdtype(key.dtype, jax.dtypes.prng_key):
+        impl = str(jax.random.key_impl(key))
+        if "rbg" in impl:
+            return key
+        data = jax.random.key_data(key)
+    else:  # raw uint32 key array (legacy PRNGKey)
+        data = key
+    data = data.reshape(-1)
+    rbg_data = jnp.concatenate([data, data])[:4].astype(jnp.uint32)
+    return jax.random.wrap_key_data(rbg_data, impl="rbg")
 
 
 def loss_fn(params, cfg: LilyConfig, batch, tasks, rng, train: bool):
     flat = _flatten_candidates(batch)
+    instr_targets = _merge01(batch["instr_targets"])
+    sparse_heads = tasks.get("sparse_task_heads", False)
+
+    lang_idx = vis_idx = None
+    if sparse_heads and tasks["masked_language"]:
+        m = min(instr_targets.shape[1], MAX_LANGUAGE_TARGETS)
+        # target-carrying positions first (stable: ties keep position order)
+        lang_idx = jnp.argsort(instr_targets < 0, axis=1,
+                               stable=True)[:, :m]
+        instr_targets = jnp.take_along_axis(instr_targets, lang_idx, axis=1)
+    if (sparse_heads and tasks["masked_vision"]
+            and "image_targets_idx" in batch):
+        s_v = flat["image_mask"].shape[1]
+        # padding sentinel == s_v; clamp for the gather, the loss keeps the
+        # raw indices for validity
+        vis_idx = jnp.minimum(_merge01(batch["image_targets_idx"]), s_v - 1)
+
     outputs = lily_forward(
         params, cfg,
         flat["instr_tokens"], flat["image_features"], flat["image_locations"],
         token_type_ids=flat["segment_ids"], attention_mask=flat["instr_mask"],
-        image_attention_mask=flat["image_mask"], rng=rng, train=train)
+        image_attention_mask=flat["image_mask"], rng=rng, train=train,
+        language_target_idx=lang_idx, vision_target_idx=vis_idx)
     loss_batch = dict(opt_mask=batch["opt_mask"],
                       ranking_target=batch["ranking_target"],
                       image_targets=_merge01(batch["image_targets"]),
                       image_targets_mask=_merge01(batch["image_targets_mask"]),
-                      instr_targets=_merge01(batch["instr_targets"]))
+                      instr_targets=instr_targets,
+                      num_regions=flat["image_mask"].shape[1])
     if "image_targets_idx" in batch:
         loss_batch["image_targets_idx"] = _merge01(batch["image_targets_idx"])
+        loss_batch["vision_pre_gathered"] = vis_idx is not None
     return losses_lib.compute_task_losses(outputs, loss_batch, tasks)
 
 
@@ -101,6 +149,7 @@ def build_train_step(cfg: LilyConfig, args: RunConfig, tx):
     grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
 
     def one_microbatch(params, mb, rng):
+        rng = fast_dropout_key(rng)
         (loss, metrics), grads = grad_fn(params, cfg, mb, tasks, rng, True)
         return loss, metrics, grads
 

@@ -33,6 +33,75 @@ def person_filter(frames: Sequence[int], person_scores: Sequence[float],
     return [f for f, s in zip(frames, person_scores) if s >= threshold]
 
 
+def indoor_probability(class_probs: np.ndarray, is_indoor_class: np.ndarray,
+                       top_k: int = 10) -> float:
+    """Reference ``classify_indoors``
+    (filter_outdoor_maskrcnn_coco.py:128-137): the summed probability of
+    the indoor scene categories among the top-k classes.
+
+    class_probs: [C] softmax scene probabilities; is_indoor_class: [C]
+    bool/0-1 (their ``io_dict``: 2 - IO_places365 label)."""
+    idx = np.argsort(-class_probs)[:top_k]
+    return float(np.sum(class_probs[idx] * (np.asarray(
+        is_indoor_class)[idx] > 0)))
+
+
+def gaussian_smooth_round(values: Sequence[float], sigma: float = 6.0
+                          ) -> np.ndarray:
+    """Temporal smoothing of the per-frame indoor probabilities
+    (filter_outdoor_maskrcnn_coco.py:151-152): gaussian_filter1d then
+    round to a 0/1 decision per frame."""
+    from scipy.ndimage import gaussian_filter1d
+    sm = gaussian_filter1d(np.asarray(values, np.float64), sigma=sigma)
+    return np.array([round(v) for v in sm])
+
+
+def smooth_window_round(values: Sequence[float], window: int = 6
+                        ) -> np.ndarray:
+    """Reference ``smooth`` (filter_outdoor_maskrcnn_coco.py:120-125):
+    in-place rolling-mean rounding of the person flags (faithful to the
+    sequential in-place update, which feeds smoothed values forward)."""
+    vals = list(np.asarray(values, np.float64))
+    half = window // 2
+    for i in range(half, len(vals) - half):
+        vals[i] = round(float(np.mean(vals[i - half:i + half])))
+    return np.asarray(vals)
+
+
+def filter_frames(indoor_probs: Sequence[float],
+                  person_flags: Sequence[bool],
+                  image_files: Sequence[str]) -> Dict[str, List[str]]:
+    """Reference ``filter_frames`` (filter_outdoor_maskrcnn_coco.py:158-166):
+    smooth both signals, then list the frames flagged indoor / containing a
+    person.  The person *detector* is pluggable (the reference pulls
+    torchvision Mask-RCNN COCO weights — an external asset); everything
+    downstream of the per-frame flags is implemented here."""
+    indoor = gaussian_smooth_round(indoor_probs)
+    person = smooth_window_round([float(p) for p in person_flags])
+    files = np.asarray(image_files)
+    return {
+        "indoor_locs": [str(f) for f in files[np.argwhere(indoor).flatten()]],
+        "person_locs": [str(f) for f in files[np.argwhere(person).flatten()]],
+    }
+
+
+def places365_indoor_probs(params, images_uint8, is_indoor_class: np.ndarray,
+                           batch_size: int = 64) -> List[float]:
+    """Per-frame indoor probability from the JAX Places365 classifier
+    (the reference 5b driver uses a Places365 ResNet the same way)."""
+    import jax
+    import jax.numpy as jnp
+    from .places365 import places_forward, preprocess_images
+
+    fn = jax.jit(lambda px: places_forward(params, px)[0])
+    out: List[float] = []
+    for s in range(0, len(images_uint8), batch_size):
+        px = preprocess_images(images_uint8[s:s + batch_size])
+        probs = np.asarray(jax.nn.softmax(fn(jnp.asarray(px)), axis=-1))
+        out += [indoor_probability(p, is_indoor_class) for p in probs]
+    return out
+
+
 def write_indoor_tsv(out_dir, video_id: str, indoor_frames: Sequence[int]
                      ) -> Path:
     """indoor.tsv in the layout build_dataset reads

@@ -175,7 +175,9 @@ def compute_task_losses(outputs: Dict[str, jnp.ndarray], batch: Dict,
         if "image_targets_idx" in batch:
             loss = masked_vision_loss_sparse(
                 outputs["vision"], batch["image_targets_idx"],
-                batch["image_targets"], row_mask)
+                batch["image_targets"], row_mask,
+                pre_gathered=batch.get("vision_pre_gathered", False),
+                num_regions=batch.get("num_regions"))
         else:
             loss = masked_vision_loss(outputs["vision"],
                                       batch["image_targets"],
@@ -232,19 +234,29 @@ def compute_task_losses(outputs: Dict[str, jnp.ndarray], batch: Dict,
 
 
 def masked_vision_loss_sparse(predictions, target_idx, target_rows,
-                              row_mask):
+                              row_mask, *, pre_gathered: bool = False,
+                              num_regions: int = None):
     """Sparse form of masked_vision_loss: only masked regions carry targets.
 
-    predictions: [N, S_v, C]; target_idx: [N, M] (S_v = padding sentinel);
-    target_rows: [N, M, C]; row_mask: [N].  Equals the dense loss exactly
-    because unmasked regions contribute 0 there (weight mask), so only the
-    gathered rows matter.  log_softmax runs on M<<S_v rows.
+    predictions: [N, S_v, C] — or, with ``pre_gathered`` (the model already
+    ran its head on the gathered rows, models/vilbert.py:lily_forward),
+    [N, M, C] aligned with ``target_idx``.  target_idx: [N, M]
+    (``num_regions``/S_v = padding sentinel); target_rows: [N, M, C];
+    row_mask: [N].  Equals the dense loss exactly because unmasked regions
+    contribute 0 there (weight mask), so only the gathered rows matter.
+    log_softmax runs on M<<S_v rows.
     """
-    n, s_v, c = predictions.shape
-    valid = (target_idx < s_v) & (row_mask[:, None] > 0)
-    safe_idx = jnp.where(valid, target_idx, 0)
-    pred_rows = jnp.take_along_axis(
-        predictions.astype(jnp.float32), safe_idx[..., None], axis=1)
+    if pre_gathered:
+        assert num_regions is not None
+        s_v = num_regions
+        pred_rows = predictions.astype(jnp.float32)
+        valid = (target_idx < s_v) & (row_mask[:, None] > 0)
+    else:
+        n, s_v, c = predictions.shape
+        valid = (target_idx < s_v) & (row_mask[:, None] > 0)
+        safe_idx = jnp.where(valid, target_idx, 0)
+        pred_rows = jnp.take_along_axis(
+            predictions.astype(jnp.float32), safe_idx[..., None], axis=1)
     logp = jax.nn.log_softmax(pred_rows, axis=-1)
     t = target_rows.astype(jnp.float32)
     kl = _xlogy(t, t) - t * logp

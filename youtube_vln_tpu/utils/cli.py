@@ -145,6 +145,10 @@ def get_parser() -> argparse.ArgumentParser:
                      choices=["bfloat16", "float32"])
     tpu.add_argument("--io_dtype", default="float16", type=str,
                      choices=["float16", "float32"])
+    tpu.add_argument("--dense_task_heads", action="store_true",
+                     default=False,
+                     help="disable the sparse (gathered) MLM/MVM head "
+                          "compute; loss-identical, slower")
     tpu.add_argument("--sparse_vision_targets", action="store_true",
                      default=False)
     tpu.add_argument("--no_pallas", action="store_true", default=False)
@@ -161,6 +165,7 @@ def args_to_run_config(args: argparse.Namespace) -> RunConfig:
         if k in fields:
             kv[k] = tuple(v) if isinstance(v, list) else v
     kv["use_pallas_attention"] = not getattr(args, "no_pallas", False)
+    kv["sparse_task_heads"] = not getattr(args, "dense_task_heads", False)
     return RunConfig(**kv)
 
 
