@@ -109,7 +109,10 @@ def main():
         if name in ("full", "full_xla"):
             c = cfg if name == "full" else dataclasses.replace(
                 cfg, use_pallas_attention=False)
-            state, tx, _ = ts.create_train_state(dparams, args,
+            # donated chain: own param copy so later variants keep
+            # dparams alive
+            pcopy = jax.tree_util.tree_map(lambda x: x.copy(), dparams)
+            state, tx, _ = ts.create_train_state(pcopy, args,
                                                  steps_per_epoch=1000)
             raw_step = ts.build_train_step(c, args, tx)
 
@@ -146,7 +149,10 @@ def main():
                 c = cfg
             if name == "full_rbg":
                 jax.config.update("jax_default_prng_impl", "rbg")
-            state, tx, _ = ts.create_train_state(dparams, args,
+            # donated chain: own param copy so later variants keep
+            # dparams alive
+            pcopy = jax.tree_util.tree_map(lambda x: x.copy(), dparams)
+            state, tx, _ = ts.create_train_state(pcopy, args,
                                                  steps_per_epoch=1000)
             raw_step = ts.build_train_step(c, args, tx)
 

@@ -269,9 +269,13 @@ def test_places365_indoor_scorer_drives_filter(rng):
 
     scores = P.indoor_scores(params, frames, labels_io)
     kept = FL.indoor_filter([0, 1, 2], scores)
-    expect = [i for i, det in enumerate(dets)
-              if det["is_indoor"][1]]
-    assert kept == expect
+    assert kept == [i for i, s in enumerate(scores) if s >= 0.5]
+    # away from the io==0.5 boundary the vote and the score agree exactly
+    for s, det in zip(scores, dets):
+        io_image, indoor = det["is_indoor"]
+        assert s == pytest.approx(1.0 - io_image)
+        if abs(io_image - 0.5) > 1e-9:
+            assert indoor == (s >= 0.5)
 
 
 # --------------------------------------------------------------------------- #
@@ -305,6 +309,28 @@ def test_maskrcnn_driver_smoothing_and_artifact():
     data = FL.filter_frames(io, [False] * 21, files)
     assert data["indoor_locs"] == files
     assert data["person_locs"] == []
+
+
+def test_run_indoor_filter_artifacts(tmp_path):
+    """Step 5a per-video driver: indoor.tsv + indoor_order.tsv + skip
+    semantics (filter_outdoor_resnet_place365.py:271-361)."""
+    import jax
+    from youtube_vln_tpu.pipeline import places365 as P
+
+    frames = tmp_path / "raw_frames"
+    _make_frames_tree(frames, n_videos=2, n_frames=4)
+    params = P.init_places_params(jax.random.PRNGKey(2), num_classes=12)
+    labels_io = np.zeros(12)      # every class indoor -> all frames kept
+    out = tmp_path / "indoor_frames"
+
+    n = FL.run_indoor_filter(frames, out, params, labels_io, batch_size=3)
+    assert n == 2
+    rows = (out / "vid0" / "indoor.tsv").read_text().splitlines()
+    assert rows == [f"vid0\t{i}" for i in range(4)]
+    assert "[0, 1, 2, 3]" in (out / "vid0" / "indoor_order.tsv").read_text()
+
+    # second run skips existing outputs
+    assert FL.run_indoor_filter(frames, out, params, labels_io) == 0
 
 
 def test_places365_feeds_maskrcnn_driver():
@@ -370,6 +396,36 @@ def test_clip_matches_hf_reference(rng):
                                rtol=1e-4)
     np.testing.assert_allclose(np.asarray(txt), ref_txt, atol=1e-4,
                                rtol=1e-4)
+
+
+def test_clip_tsv_build_and_resume(tmp_path):
+    """Step 6a TSV production with resume-by-append
+    (precomute_CLIP_features.py:48-104)."""
+    import jax
+    from youtube_vln_tpu.pipeline import clip_model as CM
+
+    cfg = CM.ClipConfig(image_size=32, patch_size=8, v_hidden=32, v_layers=1,
+                        v_heads=2, t_hidden=24, t_layers=1, t_heads=2,
+                        vocab_size=64, context_length=12, proj_dim=20)
+    params = CM.init_clip_params(jax.random.PRNGKey(0), cfg)
+    frames = tmp_path / "raw_frames"
+    _make_frames_tree(frames, n_videos=2, n_frames=3)
+    tsv = tmp_path / "CLIP-ViT-B-32-views.tsv"
+
+    n1 = CM.build_clip_tsv(params, cfg, frames, tsv)
+    assert n1 == 6
+    exist, feats = CM.read_clip_tsv(tsv, cfg.proj_dim)
+    assert len(feats) == 6 and set(exist) == {"vid0", "vid1"}
+    assert feats["vid0_0000.jpg"].shape == (1, 20)
+
+    # resume: new frames only
+    from PIL import Image
+    Image.fromarray(np.zeros((24, 32, 3), np.uint8)).save(
+        frames / "vid0" / "0009.jpg")
+    n2 = CM.build_clip_tsv(params, cfg, frames, tsv)
+    assert n2 == 1
+    _, feats = CM.read_clip_tsv(tsv, cfg.proj_dim)
+    assert len(feats) == 7
 
 
 def test_clip_feeds_zero_shot_captions(rng):

@@ -299,6 +299,75 @@ def tokenize_prompts(prompts: Sequence[str], tokenizer_dir: str,
     return enc["input_ids"].astype(np.int32)
 
 
+CLIP_TSV_FIELDNAMES = ["video_id", "frame_id", "features"]
+
+
+def read_clip_tsv(path, feature_size: int = 512):
+    """Reference ``read_tsv`` (precomute_CLIP_features.py:48-59):
+    returns (video_ids_with_features, {"{vid}_{frame}": [1, D] f32})."""
+    import base64
+    import csv
+
+    exist, feats = [], {}
+    with open(path, newline="") as f:
+        for item in csv.DictReader(f, delimiter="\t",
+                                   fieldnames=CLIP_TSV_FIELDNAMES):
+            long_id = item["video_id"] + "_" + item["frame_id"]
+            feats[long_id] = np.frombuffer(
+                base64.decodebytes(item["features"].encode("ascii")),
+                dtype=np.float32).reshape((1, feature_size))
+            exist.append(item["video_id"])
+    return exist, feats
+
+
+def build_clip_tsv(params, cfg: ClipConfig, frames_dir, out_path,
+                   image_loader=None, batch_size: int = 64) -> int:
+    """Reference ``build_tsv`` (precomute_CLIP_features.py:61-104): walk
+    raw_frames/{vid}/*.jpg, encode every frame not already in the TSV
+    (resume-by-append), write base64 f32 rows.  Returns rows written."""
+    import base64
+    import csv
+    from pathlib import Path
+
+    if image_loader is None:
+        def image_loader(p):
+            from PIL import Image
+            return np.asarray(Image.open(p).convert("RGB"))
+
+    out_path = Path(out_path)
+    out_path.parent.mkdir(parents=True, exist_ok=True)
+    done = set()
+    if out_path.exists():
+        try:
+            _, feats = read_clip_tsv(out_path, cfg.proj_dim)
+            done = set(feats)
+        except Exception:
+            done = set()
+
+    n = 0
+    with open(out_path, "a", newline="") as f:
+        writer = csv.DictWriter(f, delimiter="\t",
+                                fieldnames=CLIP_TSV_FIELDNAMES)
+        for vid_dir in sorted(Path(frames_dir).iterdir()):
+            if not vid_dir.is_dir():
+                continue
+            frames = [p for p in sorted(vid_dir.glob("*.jpg"))
+                      if f"{vid_dir.name}_{p.name}" not in done]
+            if not frames:
+                continue
+            images = np.stack([image_loader(p) for p in frames])
+            emb = encode_video_frames(params, cfg, images, batch_size)
+            for p, e in zip(frames, emb):
+                writer.writerow({
+                    "video_id": vid_dir.name,
+                    "frame_id": p.name,
+                    "features": base64.b64encode(
+                        e[None].astype(np.float32)).decode(),
+                })
+                n += 1
+    return n
+
+
 def encode_video_frames(params, cfg: ClipConfig, images_uint8: np.ndarray,
                         batch_size: int = 64) -> np.ndarray:
     """Frame pipeline of precomute_CLIP_features.py:70-100: preprocess +

@@ -115,6 +115,59 @@ def write_indoor_tsv(out_dir, video_id: str, indoor_frames: Sequence[int]
     return path
 
 
+def write_indoor_order_tsv(out_dir, video_id: str,
+                           indoor_frames: Sequence[int]) -> Path:
+    """indoor_order.tsv (reference filter_outdoor_resnet_place365.py
+    ``order_frame``, :345-361 — one sorted frame list per video).  The
+    reference's csv reader double-counts the first row; the sorted-set
+    content is what downstream reads."""
+    d = Path(out_dir) / video_id
+    d.mkdir(parents=True, exist_ok=True)
+    path = d / "indoor_order.tsv"
+    with open(path, "w") as f:
+        print(video_id, "\t", sorted(int(x) for x in indoor_frames), file=f)
+    return path
+
+
+def run_indoor_filter(frames_dir, out_dir, params, labels_io,
+                      image_loader=None, batch_size: int = 64) -> int:
+    """Step 5a end-to-end (reference ``detection``, :271-341): per video,
+    score every frame with the JAX Places365 classifier, write the
+    indoor.tsv rows for frames the top-10 vote calls indoor
+    (``io_image < 0.5`` strictly, like the reference), plus the order
+    file.  Videos with an existing output directory are skipped (the
+    reference's resume semantics).  Returns videos processed."""
+    from .places365 import preprocess_images, score_batch
+
+    if image_loader is None:
+        def image_loader(p):
+            from PIL import Image
+            return np.asarray(Image.open(p).convert("RGB"))
+
+    out_dir = Path(out_dir)
+    n_videos = 0
+    for vid_dir in sorted(Path(frames_dir).iterdir()):
+        if not vid_dir.is_dir():
+            continue
+        vid = vid_dir.name
+        if (out_dir / vid).exists():
+            continue  # reference "Skipping..." (:305-307)
+        frames = sorted(vid_dir.glob("*.jpg"))
+        indoor: List[int] = []
+        for s in range(0, len(frames), batch_size):
+            chunk = frames[s:s + batch_size]
+            images = np.stack([image_loader(p) for p in chunk])
+            dets = score_batch(params, preprocess_images(images),
+                               labels_io=np.asarray(labels_io))
+            for p, det in zip(chunk, dets):
+                if det["is_indoor"][1]:
+                    indoor.append(int(p.stem))
+        write_indoor_tsv(out_dir, vid, indoor)
+        write_indoor_order_tsv(out_dir, vid, indoor)
+        n_videos += 1
+    return n_videos
+
+
 def write_maskrcnn_filters(out_dir, video_id: str,
                            indoor_frames: Sequence[int],
                            person_frames: Sequence[int]) -> Path:
