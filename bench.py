@@ -135,6 +135,36 @@ def main():
     assert pallas_max_err < 0.25, (
         f"fused-kernel forward diverges from XLA: {pallas_max_err}")
 
+    # same check through the custom VJP: gradients of a scalar readout wrt
+    # two deep parameter leaves, fused kernels vs pure XLA (small slice so
+    # the XLA path's attention-prob residuals fit in HBM)
+    def make_grad(c):
+        def readout(p, b):
+            out = lily_forward(
+                p, c, b["instr_tokens"], b["image_features"],
+                b["image_locations"], token_type_ids=b["segment_ids"],
+                attention_mask=b["instr_mask"],
+                image_attention_mask=b["image_mask"], train=False)
+            return jnp.sum(out["ranking"]) + jnp.sum(out["traj"])
+        def probes(p, b):
+            g = jax.grad(readout)(p, b)
+            return (g["vis_layers"][0]["attn"]["query"]["w"],
+                    g["cross_layers"][0]["bi"]["query2"]["w"])
+        return jax.jit(probes)
+
+    import jax.numpy as jnp
+    g_pal = make_grad(cfg)(state.params, flat)
+    g_xla = make_grad(cfg_xla)(state.params, flat)
+    pallas_bwd_max_err = max(
+        float(np.max(np.abs(np.asarray(a, np.float32)
+                            - np.asarray(b, np.float32))))
+        for a, b in zip(g_pal, g_xla))
+    scale = max(float(np.max(np.abs(np.asarray(g, np.float32))))
+                for g in g_xla)
+    assert pallas_bwd_max_err < 0.05 * max(scale, 1e-3), (
+        f"fused-kernel backward diverges from XLA: {pallas_bwd_max_err} "
+        f"(grad scale {scale})")
+
     # Steady state: pipelined dispatch chain, then force every step's loss.
     n_steps = 10
     losses = []
@@ -160,6 +190,7 @@ def main():
             "loss": final_loss,
             "mfu": round(traj_per_s * FLOPS_PER_TRAJ / V5E_PEAK_FLOPS, 3),
             "pallas_max_err": round(pallas_max_err, 6),
+            "pallas_bwd_max_err": round(pallas_bwd_max_err, 6),
             "sparse_vision_targets": True,
         },
     }))

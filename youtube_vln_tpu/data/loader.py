@@ -162,11 +162,13 @@ class Loader:
     num_workers > 0 assembles items in a fork-based process pool (the
     reference's DataLoader workers, num_workers=3 per GPU).  Sampling is
     deterministic in (seed, epoch, index) regardless of worker count.
-    Sizing guidance: one worker produces ~20-40 traj/s at full geometry
-    (188 ms/sample) and a v5e chip consumes ~145 traj/s, so plan ~4-6
-    workers per chip on a real TPU-VM host; on starved hosts (this dev box
-    has a single core) leave num_workers=0 — the transport overhead cannot
-    be amortized without CPUs.
+    Sizing guidance: one worker produces ~32 traj/s at full geometry
+    (220 ms/sample measured on a weak single-core host; a real TPU-VM
+    core is faster) and a v5e chip consumes ~209 traj/s, so plan ~5-7
+    workers per chip; on starved hosts (this dev box has a single core)
+    leave num_workers=0 — the transport overhead cannot be amortized
+    without CPUs.  Items that overflow the shared-memory slabs fall back
+    to pickling LOUDLY (warning + ``shm_fallbacks`` counter).
     """
 
     def __init__(self, dataset, batch_size: int, *, shuffle: bool,

@@ -32,12 +32,35 @@ Trajectory = List[Sample]
 # shufflers (reference common.py:577-623)
 # --------------------------------------------------------------------------- #
 def shuffle_different(seq: List[T], rng=_random) -> Iterator[List[T]]:
-    sequences = list(itertools.permutations(seq, len(seq)))
-    rng.shuffle(sequences)
-    for s in sequences:
-        l = list(s)
-        if l != seq:
-            yield l
+    """Distinct non-identity permutations in uniformly random order.
+
+    The reference materializes all n! permutations and shuffles the list
+    (common.py:577-584) — O(n!) time/memory per call even though callers
+    take only num_negatives of them.  For n > 6 this draws Fisher-Yates
+    permutations lazily instead with a seen-set; the first k yields have
+    exactly the same distribution (uniform over distinct non-identity
+    permutations), without the factorial blowup."""
+    n = len(seq)
+    if n <= 6:  # <= 720 perms: keep the exhaustive no-repeat behavior
+        sequences = list(itertools.permutations(seq, len(seq)))
+        rng.shuffle(sequences)
+        for s in sequences:
+            l = list(s)
+            if l != seq:
+                yield l
+        return
+    identity = tuple(range(n))
+    seen = {identity}
+    misses = 0
+    while misses < 64:  # callers take ~num_negatives; collisions are rare
+        p = list(range(n))
+        rng.shuffle(p)
+        t = tuple(p)
+        if t in seen:
+            misses += 1
+            continue
+        seen.add(t)
+        yield [seq[i] for i in p]
 
 
 def shuffle_two(seq: List[T], rng=_random) -> Iterator[List[T]]:
