@@ -751,6 +751,42 @@ def test_assemble_records_filters():
     assert recs[0]["action"] == "left"
 
 
+def test_preprocess_records_filters(tmp_path):
+    """preprocess_dataset.py equivalents: TSV load, captionless toggle,
+    per-video min_caption/min_length filters, artifacts."""
+    rows = []
+    # video A: 4 frames, 2 captioned -> keeps
+    for i in range(4):
+        rows.append(("vidA", i, "kitchen with sink" if i % 2 == 0 else "",
+                     "forward"))
+    # video B: enough frames, 1 caption -> dropped (min_caption)
+    for i in range(5):
+        rows.append(("vidB", i, "bedroom with bed" if i == 0 else "",
+                     "left"))
+    # video C: 2 captioned but too short -> dropped (min_length)
+    rows += [("vidC", 0, "office with desk", "right"),
+             ("vidC", 1, "porch with chair", "right")]
+    tsv = tmp_path / "ytb_test.tsv"
+    tsv.write_text("\n".join("\t".join(map(str, r)) for r in rows) + "\n")
+
+    frames = B.load_frames_tsv(tsv)
+    assert len(frames) == 11 and frames[0]["frame_id"] == 0
+
+    by_video = B.preprocess_records(frames, min_caption=2, min_length=4)
+    assert set(by_video) == {"vidA"}
+
+    # captionless=False first drops empty-caption frames entirely
+    by_video2 = B.preprocess_records(frames, min_caption=2, min_length=2,
+                                     captionless=False)
+    assert set(by_video2) == {"vidA", "vidC"}
+    assert all(f["caption"] for items in by_video2.values() for f in items)
+
+    json_path, txt_path = B.write_preprocessed(by_video, tmp_path / "ytb",
+                                               "ytb_test")
+    assert json.loads(json_path.read_text())[0]["video_id"] == "vidA"
+    assert txt_path.read_text().split() == ["vidA"]
+
+
 def test_split_and_freeze(tmp_path):
     recs = [{"video_id": f"v{i}", "frame_id": j,
              "caption": "kitchen with sink" if j % 2 == 0 else "",

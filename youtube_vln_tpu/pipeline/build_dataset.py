@@ -53,6 +53,57 @@ def assemble_records(video_ids: Sequence[str],
     return records
 
 
+def load_frames_tsv(path) -> List[Dict]:
+    """video_id/frame_id/caption/action TSV -> record dicts
+    (reference preprocess_dataset.py:44-57)."""
+    import csv
+    with open(path, newline="") as fid:
+        reader = csv.DictReader(
+            fid, delimiter="\t",
+            fieldnames=["video_id", "frame_id", "caption", "action"])
+        return [{"video_id": r["video_id"], "frame_id": int(r["frame_id"]),
+                 "caption": r["caption"], "action": r["action"]}
+                for r in reader]
+
+
+def preprocess_records(frames: List[Dict], *, min_caption: int = 2,
+                       min_length: int = 4, captionless: bool = True
+                       ) -> Dict[str, List[Dict]]:
+    """Reference preprocess_dataset.py:60-80: optionally drop captionless
+    frames, group by video, and keep only videos with >= min_caption
+    captioned frames and >= min_length frames total.  Returns
+    {video_id: [records]} in frame order."""
+    from itertools import groupby
+    from operator import itemgetter
+
+    if not captionless:
+        frames = [f for f in frames if f["caption"] != ""]
+    frames = sorted(frames, key=itemgetter("video_id"))
+    by_video = {vid: list(items) for vid, items in
+                groupby(frames, key=itemgetter("video_id"))}
+    return {
+        vid: items for vid, items in by_video.items()
+        if sum(f["caption"] != "" for f in items) >= min_caption
+        and len(items) >= min_length
+    }
+
+
+def write_preprocessed(by_video: Dict[str, List[Dict]], location, name: str):
+    """{name}.json (flattened records) + {name}-videos.txt
+    (reference preprocess_dataset.py:82-86)."""
+    location = Path(location)
+    location.mkdir(parents=True, exist_ok=True)
+    flat = [r for items in by_video.values() for r in items]
+    json_path = location / f"{name}.json"
+    with open(json_path, "w") as f:
+        json.dump(flat, f, indent=2)
+    txt_path = location / f"{name}-videos.txt"
+    with open(txt_path, "w") as f:
+        for vid in by_video:
+            print(vid, file=f)
+    return json_path, txt_path
+
+
 def split_train_test(records: List[Dict], test_rate: float = 0.05,
                      seed: int = 0):
     """Split by video (the reference splits at video granularity)."""
