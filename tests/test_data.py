@@ -390,6 +390,42 @@ def test_loader_worker_determinism(ytb_env):
     reader.close()
 
 
+def test_loader_shm_overflow_falls_back_loudly(caplog):
+    """Items bigger than the shared-memory slab (probed from item 0) must
+    arrive intact via the pickle fallback, with a warning + counter."""
+    import logging
+
+    class GrowingDataset:
+        def __len__(self):
+            return 3
+
+        def num_candidates(self):
+            return 1
+
+        def __getitem__(self, i):
+            n = 8 if i == 0 else 100000   # items 1-2 overflow the slab
+            return dict(
+                ranking_target=np.asarray(0, np.int32),
+                instr_tokens=np.full((1, n), i, np.int32),
+                instr_mask=np.ones((1, n), np.int32),
+                instr_targets=np.full((1, n), -1, np.int32),
+                segment_ids=np.zeros((1, n), np.int32),
+                opt_mask=np.ones(1, bool),
+            )
+
+    loader = Loader(GrowingDataset(), batch_size=1, shuffle=False,
+                    num_workers=1, use_shared_memory=True)
+    with caplog.at_level(logging.WARNING,
+                         logger="youtube_vln_tpu.data.loader"):
+        batches = list(loader)
+    assert len(batches) == 3
+    assert loader.shm_fallbacks == 2
+    assert any("shared-memory" in r.message for r in caplog.records)
+    # fallback items arrived intact
+    assert batches[1]["instr_tokens"].shape == (1, 1, 100000)
+    assert int(batches[2]["instr_tokens"][0, 0, 0]) == 2
+
+
 def test_io_dtype_halves_feature_bytes(ytb_env):
     from youtube_vln_tpu.data.tokenizer import load_tokenizer
     tok = load_tokenizer(ytb_env["vocab_path"])

@@ -15,6 +15,7 @@ distributed.py:156-180``) with:
 from __future__ import annotations
 
 import hashlib
+import logging
 import multiprocessing as mp
 import queue
 import threading
