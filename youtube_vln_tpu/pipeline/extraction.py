@@ -222,9 +222,6 @@ def build_shard(photos: Sequence[str], shard_id: int, num_splits: int,
     return n
 
 
-_WORKER_STATE: Dict = {}
-
-
 def _pool_worker(shard_id: int, photos: Sequence[str], num_splits: int,
                  out_dir: str, factory: Callable) -> int:
     # one extractor per process, like one Caffe net per GPU (:130-143)
