@@ -123,4 +123,139 @@ void* vlnstore_record_ptr(void* handle, int64_t offset) {
   return const_cast<uint8_t*>(h->data + offset);
 }
 
+// ---------------------------------------------------------------------------
+// Path-feature packer: the training hot loop's gather+normalize+pad+concat
+// (youtube_vln_tpu/data/features_reader.py:RegionFeaturesReader.__getitem__
+// + datasets.py:_PathFeatureAssembler) in one C pass per step, writing
+// straight into the caller's [max_steps*max_boxes, ...] buffers.
+// ---------------------------------------------------------------------------
+
+namespace {
+
+constexpr int kFeatDim = 2048;
+constexpr int kBoxDim = 4;
+constexpr int kProbDim = 1601;
+constexpr int kLocDim = 12;
+
+#pragma pack(push, 1)
+struct RecHeader {
+  uint32_t num_boxes;
+  uint32_t image_w;
+  uint32_t image_h;
+  uint32_t flags;
+};
+#pragma pack(pop)
+
+struct RecView {
+  uint32_t k;
+  float w, h;
+  const float* features;  // [k, 2048]
+  const float* boxes;     // [k, 4]
+  const float* probs;     // [k, 1601]
+};
+
+bool view_record(const Handle* h, const char* key, RecView* out) {
+  auto it = h->offsets.find(key);
+  if (it == h->offsets.end()) return false;
+  const uint8_t* p = h->data + it->second;
+  RecHeader rh;
+  std::memcpy(&rh, p, sizeof(rh));
+  p += sizeof(rh);
+  out->k = rh.num_boxes;
+  out->w = static_cast<float>(rh.image_w);
+  out->h = static_cast<float>(rh.image_h);
+  out->features = reinterpret_cast<const float*>(p);
+  out->boxes = out->features + (size_t)rh.num_boxes * kFeatDim;
+  out->probs = out->boxes + (size_t)rh.num_boxes * kBoxDim;
+  return true;
+}
+
+}  // namespace
+
+// Pack one path of n_steps step groups into preallocated buffers shaped
+// [max_steps * max_boxes, {2048 | 12 | 1601}] (+ int32 mask
+// [max_steps * max_boxes]).  Step i reads keys
+// keys[key_offsets[i] .. key_offsets[i+1]); its regions are the synthesized
+// global region (mean feature, location [0,0,1,1,1,1..], uniform probs)
+// followed by the concatenated per-photo regions, truncated to max_boxes
+// and zero-padded; location column 11 carries the step index for ALL rows
+// (datasets.py pad_step).  Steps beyond n_steps are zeroed except col 11.
+// Returns 0 on success, -1 on a missing key.
+int vlnstore_pack_path(void* handle, const char** keys,
+                       const int64_t* key_offsets, int n_steps,
+                       int max_steps, int max_boxes, float* feats,
+                       float* locs, float* probs, int32_t* mask) {
+  auto* h = static_cast<Handle*>(handle);
+  for (int step = 0; step < max_steps; ++step) {
+    float* f = feats + (size_t)step * max_boxes * kFeatDim;
+    float* l = locs + (size_t)step * max_boxes * kLocDim;
+    float* pr = probs + (size_t)step * max_boxes * kProbDim;
+    int32_t* m = mask + (size_t)step * max_boxes;
+    std::memset(f, 0, sizeof(float) * (size_t)max_boxes * kFeatDim);
+    std::memset(l, 0, sizeof(float) * (size_t)max_boxes * kLocDim);
+    std::memset(pr, 0, sizeof(float) * (size_t)max_boxes * kProbDim);
+    std::memset(m, 0, sizeof(int32_t) * (size_t)max_boxes);
+    for (int b = 0; b < max_boxes; ++b) l[b * kLocDim + 11] = (float)step;
+    if (step >= n_steps) continue;
+
+    // first pass: total region count + the mean feature (float64
+    // accumulation, matching numpy's f32-mean precision closely enough)
+    int64_t lo = key_offsets[step], hi = key_offsets[step + 1];
+    uint64_t total_k = 0;
+    static thread_local std::vector<double> acc;
+    acc.assign(kFeatDim, 0.0);
+    static thread_local std::vector<RecView> views;
+    views.clear();
+    for (int64_t i = lo; i < hi; ++i) {
+      RecView v;
+      if (!view_record(h, keys[i], &v)) return -1;
+      views.push_back(v);
+      for (uint32_t r = 0; r < v.k; ++r) {
+        const float* row = v.features + (size_t)r * kFeatDim;
+        for (int c = 0; c < kFeatDim; ++c) acc[c] += row[c];
+      }
+      total_k += v.k;
+    }
+    if (total_k == 0) return -1;
+
+    // region 0: the synthesized global region
+    for (int c = 0; c < kFeatDim; ++c)
+      f[c] = (float)(acc[c] / (double)total_k);
+    // [0,0,1,1,1, sin0,cos0, sin0,cos0, sin0,cos0] — the synthesized
+    // global region's location (features_reader.py:102, reference :171)
+    l[0] = 0.0f; l[1] = 0.0f; l[2] = 1.0f; l[3] = 1.0f; l[4] = 1.0f;
+    l[5] = 0.0f; l[6] = 1.0f; l[7] = 0.0f; l[8] = 1.0f;
+    l[9] = 0.0f; l[10] = 1.0f;
+    l[11] = (float)step;
+    const float uniform = 1.0f / (float)kProbDim;
+    for (int c = 0; c < kProbDim; ++c) pr[c] = uniform;
+    m[0] = 1;
+
+    // remaining rows: concatenated photo regions, truncated at max_boxes
+    int row = 1;
+    for (const RecView& v : views) {
+      for (uint32_t r = 0; r < v.k && row < max_boxes; ++r, ++row) {
+        std::memcpy(f + (size_t)row * kFeatDim,
+                    v.features + (size_t)r * kFeatDim,
+                    sizeof(float) * kFeatDim);
+        const float* box = v.boxes + (size_t)r * kBoxDim;
+        float* lr = l + (size_t)row * kLocDim;
+        lr[0] = box[0] / v.w;
+        lr[1] = box[1] / v.h;
+        lr[2] = box[2] / v.w;
+        lr[3] = box[3] / v.h;
+        lr[4] = (box[2] - box[0]) * (box[3] - box[1]) / (v.w * v.h);
+        for (int c = 5; c < 11; ++c) lr[c] = 1.0f;
+        lr[11] = (float)step;
+        std::memcpy(pr + (size_t)row * kProbDim,
+                    v.probs + (size_t)r * kProbDim,
+                    sizeof(float) * kProbDim);
+        m[row] = 1;
+      }
+      if (row >= max_boxes) break;
+    }
+  }
+  return 0;
+}
+
 }  // extern "C"

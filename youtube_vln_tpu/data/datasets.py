@@ -178,15 +178,20 @@ class PretrainDataset:
         return 1 + 3 * n if not self.traj_judge_only else 1 + 2 * n
 
     def _visual_features(self, trajectory):
-        steps = []
-        for i, (listing_id, photo_id) in enumerate(
-                trajectory[: self.args.max_path_length]):
+        step_keys = []
+        for listing_id, photo_id in trajectory[: self.args.max_path_length]:
             if isinstance(photo_id, int):
                 photo_id = (photo_id,)
-            keys = tuple(self.feature_key(listing_id, pid)
-                         for pid in photo_id)
-            feats, locs, probs = self.reader[keys]
-            steps.append(self.assembler.pad_step(feats, locs, probs, i))
+            step_keys.append(tuple(self.feature_key(listing_id, pid)
+                                   for pid in photo_id))
+        pack = getattr(self.reader, "pack_path", None)
+        if pack is not None:
+            packed = pack(step_keys, self.args.max_path_length,
+                          self.args.max_num_boxes)
+            if packed is not None:
+                return packed
+        steps = [self.assembler.pad_step(*self.reader[keys], i)
+                 for i, keys in enumerate(step_keys)]
         return self.assembler.stack(steps)
 
     def __getitem__(self, index: int) -> Dict[str, np.ndarray]:

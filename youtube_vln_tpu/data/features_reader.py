@@ -107,6 +107,27 @@ class RegionFeaturesReader(FeaturesReader):
                 np.concatenate([g_prob, prob], axis=0))
 
 
+    def pack_path(self, step_keys: Sequence[Tuple[str, ...]],
+                  max_steps: int, max_boxes: int):
+        """Native fast path for a whole candidate path (one C call instead
+        of per-step reads + numpy pad/concat).  Only when every key lives
+        in one store shard and the C library is built; None -> caller uses
+        the Python path."""
+        first = None
+        for keys in step_keys:
+            for k in keys:
+                idx = self._by_key.get(k)
+                if idx is None:
+                    raise KeyError(f"invalid key: {k}")
+                if first is None:
+                    first = idx
+                elif idx != first:
+                    return None  # spans shards: python fallback
+        if first is None:
+            return None
+        return self._stores[first].pack_path(step_keys, max_steps, max_boxes)
+
+
 class YTbFeaturesReader(RegionFeaturesReader):
     """Keys look like ``{video}/{frame:04d}`` (reference :187-189)."""
 

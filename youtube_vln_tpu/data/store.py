@@ -140,6 +140,18 @@ def _load_native() -> Optional[ctypes.CDLL]:
     dll.vlnstore_lookup.argtypes = [ctypes.c_void_p, ctypes.c_char_p]
     dll.vlnstore_record_ptr.restype = ctypes.c_void_p
     dll.vlnstore_record_ptr.argtypes = [ctypes.c_void_p, ctypes.c_int64]
+    if hasattr(dll, "vlnstore_pack_path"):
+        dll.vlnstore_pack_path.restype = ctypes.c_int
+        dll.vlnstore_pack_path.argtypes = [
+            ctypes.c_void_p,
+            ctypes.POINTER(ctypes.c_char_p),
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_float),
+            ctypes.POINTER(ctypes.c_float),
+            ctypes.POINTER(ctypes.c_float),
+            ctypes.POINTER(ctypes.c_int32),
+        ]
     return dll
 
 
@@ -237,6 +249,38 @@ class Store:
         if off is None:
             raise KeyError(key)
         return _parse_record(self._mm, off)
+
+    def pack_path(self, step_keys, max_steps: int, max_boxes: int):
+        """Native gather+normalize+pad+concat of one candidate path
+        (native/vlnstore.cc:vlnstore_pack_path).  step_keys: sequence of
+        key tuples, one per real step.  Returns (features, locations,
+        probs, mask) shaped [max_steps*max_boxes, ...], or None when the
+        native library is unavailable (callers fall back to Python)."""
+        if self._native is None or self._handle is None or \
+                not hasattr(self._native, "vlnstore_pack_path"):
+            return None
+        flat = []
+        offsets = [0]
+        for keys in step_keys:
+            flat += [k.encode() for k in keys]
+            offsets.append(len(flat))
+        n_steps = len(step_keys)
+        keys_arr = (ctypes.c_char_p * len(flat))(*flat)
+        off_arr = (ctypes.c_int64 * len(offsets))(*offsets)
+        n = max_steps * max_boxes
+        f = np.empty((n, 2048), np.float32)
+        l = np.empty((n, 12), np.float32)
+        p = np.empty((n, PROB_DIM), np.float32)
+        m = np.empty((n,), np.int32)
+        ret = self._native.vlnstore_pack_path(
+            self._handle, keys_arr, off_arr, n_steps, max_steps, max_boxes,
+            f.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            l.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            p.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            m.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
+        if ret != 0:
+            return None
+        return f, l, p, m
 
     def close(self):
         if self._handle and self._native is not None:
