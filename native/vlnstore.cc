@@ -6,6 +6,7 @@
 // Replaces the role of the LMDB C library in the reference stack
 // (reference utils/dataset/features_reader.py:16-66).
 
+#include <cmath>
 #include <cstdint>
 #include <cstring>
 #include <string>
@@ -253,6 +254,98 @@ int vlnstore_pack_path(void* handle, const char** keys,
         m[row] = 1;
       }
       if (row >= max_boxes) break;
+    }
+  }
+  return 0;
+}
+
+// Pano variant (the R2R fine-tune hot loop,
+// features_reader.py:PanoFeaturesReader + datasets.py:_path_features):
+// one key per step with (heading, next_heading) queries; location columns
+// 5..10 carry sin/cos of the feature orientation relative to the query.
+// Returns 0 on success, -1 on missing key / non-pano record.
+int vlnstore_pack_pano_path(void* handle, const char** keys,
+                            const double* headings,
+                            const double* next_headings, int n_steps,
+                            int max_steps, int max_boxes, float* feats,
+                            float* locs, float* probs, int32_t* mask) {
+  auto* h = static_cast<Handle*>(handle);
+  for (int step = 0; step < max_steps; ++step) {
+    float* f = feats + (size_t)step * max_boxes * kFeatDim;
+    float* l = locs + (size_t)step * max_boxes * kLocDim;
+    float* pr = probs + (size_t)step * max_boxes * kProbDim;
+    int32_t* m = mask + (size_t)step * max_boxes;
+    std::memset(f, 0, sizeof(float) * (size_t)max_boxes * kFeatDim);
+    std::memset(l, 0, sizeof(float) * (size_t)max_boxes * kLocDim);
+    std::memset(pr, 0, sizeof(float) * (size_t)max_boxes * kProbDim);
+    std::memset(m, 0, sizeof(int32_t) * (size_t)max_boxes);
+    for (int b = 0; b < max_boxes; ++b) l[b * kLocDim + 11] = (float)step;
+    if (step >= n_steps) continue;
+
+    auto it = h->offsets.find(keys[step]);
+    if (it == h->offsets.end()) return -1;
+    const uint8_t* p = h->data + it->second;
+    RecHeader rh;
+    std::memcpy(&rh, p, sizeof(rh));
+    if (!(rh.flags & 1u)) return -1;  // FLAG_PANO (store.py:38)
+    p += sizeof(rh);
+    const uint32_t k = rh.num_boxes;
+    const float w = (float)rh.image_w, ih = (float)rh.image_h;
+    const float* features = reinterpret_cast<const float*>(p);
+    const float* boxes = features + (size_t)k * kFeatDim;
+    const float* cls_prob = boxes + (size_t)k * kBoxDim;
+    const float* after_probs = cls_prob + (size_t)k * kProbDim;
+    // pano tail: viewHeading[36], viewElevation[36], featHeading[k],
+    // featElevation[k], featViewIndex[k] (store.py:92-97)
+    const float* feat_heading = after_probs + 36 + 36;
+    const float* feat_elev = feat_heading + k;
+
+    const double hd = headings[step], nh = next_headings[step];
+
+    // global region 0
+    double acc_local[kFeatDim];
+    std::memset(acc_local, 0, sizeof(acc_local));
+    for (uint32_t r = 0; r < k; ++r) {
+      const float* row = features + (size_t)r * kFeatDim;
+      for (int c = 0; c < kFeatDim; ++c) acc_local[c] += row[c];
+    }
+    if (k == 0) return -1;
+    for (int c = 0; c < kFeatDim; ++c)
+      f[c] = (float)(acc_local[c] / (double)k);
+    l[0] = 0.0f; l[1] = 0.0f; l[2] = 1.0f; l[3] = 1.0f; l[4] = 1.0f;
+    l[5] = (float)std::sin(0.0 - hd);
+    l[6] = (float)std::cos(0.0 - hd);
+    l[7] = 0.0f; l[8] = 1.0f;
+    l[9] = (float)std::sin(0.0 - nh);
+    l[10] = (float)std::cos(0.0 - nh);
+    l[11] = (float)step;
+    const float uniform = 1.0f / (float)kProbDim;
+    for (int c = 0; c < kProbDim; ++c) pr[c] = uniform;
+    m[0] = 1;
+
+    int row = 1;
+    for (uint32_t r = 0; r < k && row < max_boxes; ++r, ++row) {
+      std::memcpy(f + (size_t)row * kFeatDim, features + (size_t)r * kFeatDim,
+                  sizeof(float) * kFeatDim);
+      const float* box = boxes + (size_t)r * kBoxDim;
+      float* lr = l + (size_t)row * kLocDim;
+      lr[0] = box[0] / w;
+      lr[1] = box[1] / ih;
+      lr[2] = box[2] / w;
+      lr[3] = box[3] / ih;
+      lr[4] = (box[2] - box[0]) * (box[3] - box[1]) / (w * ih);
+      const double fh = (double)feat_heading[r];
+      const double fe = (double)feat_elev[r];
+      lr[5] = (float)std::sin(fh - hd);
+      lr[6] = (float)std::cos(fh - hd);
+      lr[7] = (float)std::sin(fe);
+      lr[8] = (float)std::cos(fe);
+      lr[9] = (float)std::sin(fh - nh);
+      lr[10] = (float)std::cos(fh - nh);
+      lr[11] = (float)step;
+      std::memcpy(pr + (size_t)row * kProbDim,
+                  cls_prob + (size_t)r * kProbDim, sizeof(float) * kProbDim);
+      m[row] = 1;
     }
   }
   return 0;

@@ -435,6 +435,34 @@ def test_native_pack_path_matches_python(ytb_env):
     two.close()
 
 
+def test_native_pack_pano_path_matches_python(tmp_path):
+    """The pano variant of the C++ packer (heading/elevation trig in the
+    location columns) must match reader[(key, h, nh)] + pad_step + stack."""
+    from youtube_vln_tpu.data import fixtures as F
+    from youtube_vln_tpu.data.datasets import _PathFeatureAssembler
+    from youtube_vln_tpu.data.features_reader import PanoFeaturesReader
+
+    paths = F.build_r2r_fixture(tmp_path)
+    reader = PanoFeaturesReader(paths["store_path"])
+    keys = sorted(reader.keys)[:3]
+    headings = [0.3, -1.2, 2.5]
+    next_h = [-1.2, 2.5, 2.5]
+    packed = reader.pack_pano_path(keys, headings, next_h, max_steps=4,
+                                   max_boxes=5)
+    if packed is None:
+        pytest.skip("native library not built")
+    f, l, p, m = packed
+    asm = _PathFeatureAssembler(4, 5)
+    steps = [asm.pad_step(*reader[(k, h, nh)], i)
+             for i, (k, h, nh) in enumerate(zip(keys, headings, next_h))]
+    f2, l2, p2, m2 = asm.stack(steps)
+    np.testing.assert_allclose(f, f2, atol=2e-6)
+    np.testing.assert_allclose(l, l2, atol=2e-6)
+    np.testing.assert_array_equal(p, p2)
+    np.testing.assert_array_equal(m, m2)
+    reader.close()
+
+
 def test_loader_shm_overflow_falls_back_loudly(caplog):
     """Items bigger than the shared-memory slab (probed from item 0) must
     arrive intact via the pickle fallback, with a warning + counter."""

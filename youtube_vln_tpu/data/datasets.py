@@ -539,6 +539,26 @@ class BeamDataset:
             steps.append(self.assembler.empty_step(i))
         return steps
 
+    def _packed_path_features(self, scan_id, path, first_heading):
+        """stack(_path_features(...)) with the native pano packer when
+        available (one C call per candidate path)."""
+        headings = get_headings(self.graphs[scan_id], path, first_heading)
+        next_headings = headings[1:] + [headings[-1]]
+        L = self.args.max_path_length
+        pack = getattr(self.reader, "pack_pano_path", None)
+        if pack is not None:
+            packed = pack([f"{scan_id}-{vp}" for vp in path[:L]],
+                          headings[:L], next_headings[:L], L,
+                          self.args.max_num_boxes)
+            if packed is not None:
+                return packed
+        steps = []
+        for i, vp in enumerate(path[:L]):
+            feats, locs, probs = self.reader[
+                f"{scan_id}-{vp}", headings[i], next_headings[i]]
+            steps.append(self.assembler.pad_step(feats, locs, probs, i))
+        return self.assembler.stack(steps)
+
     def _single_feature(self, scan_id, viewpoint, step_idx):
         heading = self.rng.uniform(-np.pi / 2, np.pi / 2)
         next_heading = self.rng.uniform(-np.pi / 2, np.pi / 2)
@@ -584,10 +604,10 @@ class BeamDataset:
         if self.training and self.traj_judge_only:
             step_lists = self._traj_judge_features(
                 scan_id, heading, selected_paths, vln_index)
+            feats = [self.assembler.stack(s) for s in step_lists]
         else:
-            step_lists = [self._path_features(scan_id, p, heading)
-                          for p in selected_paths]
-        feats = [self.assembler.stack(s) for s in step_lists]
+            feats = [self._packed_path_features(scan_id, p, heading)
+                     for p in selected_paths]
 
         return self._finalize(instr_tokens, feats, target,
                               np.asarray([path_id, instruction_index],

@@ -176,3 +176,23 @@ class PanoFeaturesReader(FeaturesReader):
         return (np.concatenate([g_feature, features], axis=0),
                 np.concatenate([g_location, loc], axis=0),
                 np.concatenate([g_prob, rec.cls_prob], axis=0))
+
+    def pack_pano_path(self, keys: Sequence[str], headings: Sequence[float],
+                       next_headings: Sequence[float], max_steps: int,
+                       max_boxes: int):
+        """Native fast path for a whole R2R candidate path (one C call per
+        path instead of per-step reads + numpy pad/concat); None -> caller
+        uses the Python path."""
+        first = None
+        for k in keys:
+            idx = self._by_key.get(k)
+            if idx is None:
+                raise KeyError(f"invalid key: {k}")
+            if first is None:
+                first = idx
+            elif idx != first:
+                return None
+        if first is None:
+            return None
+        return self._stores[first].pack_pano_path(
+            keys, headings, next_headings, max_steps, max_boxes)

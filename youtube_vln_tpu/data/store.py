@@ -152,6 +152,19 @@ def _load_native() -> Optional[ctypes.CDLL]:
             ctypes.POINTER(ctypes.c_float),
             ctypes.POINTER(ctypes.c_int32),
         ]
+    if hasattr(dll, "vlnstore_pack_pano_path"):
+        dll.vlnstore_pack_pano_path.restype = ctypes.c_int
+        dll.vlnstore_pack_pano_path.argtypes = [
+            ctypes.c_void_p,
+            ctypes.POINTER(ctypes.c_char_p),
+            ctypes.POINTER(ctypes.c_double),
+            ctypes.POINTER(ctypes.c_double),
+            ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_float),
+            ctypes.POINTER(ctypes.c_float),
+            ctypes.POINTER(ctypes.c_float),
+            ctypes.POINTER(ctypes.c_int32),
+        ]
     return dll
 
 
@@ -274,6 +287,36 @@ class Store:
         m = np.empty((n,), np.int32)
         ret = self._native.vlnstore_pack_path(
             self._handle, keys_arr, off_arr, n_steps, max_steps, max_boxes,
+            f.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            l.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            p.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            m.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
+        if ret != 0:
+            return None
+        return f, l, p, m
+
+    def pack_pano_path(self, keys, headings, next_headings, max_steps: int,
+                       max_boxes: int):
+        """Native pano-path packer (one key + heading pair per step,
+        native/vlnstore.cc:vlnstore_pack_pano_path); None -> python
+        fallback."""
+        if self._native is None or self._handle is None or \
+                not hasattr(self._native, "vlnstore_pack_pano_path"):
+            return None
+        n_steps = len(keys)
+        keys_arr = (ctypes.c_char_p * n_steps)(
+            *[k.encode() for k in keys])
+        h_arr = (ctypes.c_double * n_steps)(*[float(x) for x in headings])
+        nh_arr = (ctypes.c_double * n_steps)(
+            *[float(x) for x in next_headings])
+        n = max_steps * max_boxes
+        f = np.empty((n, 2048), np.float32)
+        l = np.empty((n, 12), np.float32)
+        p = np.empty((n, PROB_DIM), np.float32)
+        m = np.empty((n,), np.int32)
+        ret = self._native.vlnstore_pack_pano_path(
+            self._handle, keys_arr, h_arr, nh_arr, n_steps, max_steps,
+            max_boxes,
             f.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
             l.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
             p.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
