@@ -58,13 +58,20 @@ def _flatten_candidates(batch: Dict[str, jnp.ndarray]):
 
 
 def _task_config(args: RunConfig, training: bool) -> Dict[str, Any]:
+    # action-word masking (--mask_action_rate) can push the per-row masked
+    # count past the static sparse-head cap; fall back to the dense MLM
+    # head there (the vision cap is unaffected — region masking stays at
+    # the 15% ladder)
+    sparse_heads = getattr(args, "sparse_task_heads", False) and \
+        getattr(args, "mask_action_rate", 0.0) == 0.0
     return dict(ranking=args.ranking, traj_judge=args.traj_judge,
                 masked_vision=args.masked_vision,
                 masked_language=args.masked_language,
                 pretrain=args.pretrain, num_negatives=args.num_negatives,
                 traj_loss_scale=args.traj_loss_scale,
                 not_traj_judge_data=args.not_traj_judge_data,
-                sparse_task_heads=getattr(args, "sparse_task_heads", False),
+                sparse_task_heads=sparse_heads,
+                sparse_vision_head=getattr(args, "sparse_task_heads", False),
                 training=training)
 
 
@@ -107,7 +114,8 @@ def loss_fn(params, cfg: LilyConfig, batch, tasks, rng, train: bool):
         lang_idx = jnp.argsort(instr_targets < 0, axis=1,
                                stable=True)[:, :m]
         instr_targets = jnp.take_along_axis(instr_targets, lang_idx, axis=1)
-    if (sparse_heads and tasks["masked_vision"]
+    if (tasks.get("sparse_vision_head", sparse_heads)
+            and tasks["masked_vision"]
             and "image_targets_idx" in batch):
         s_v = flat["image_mask"].shape[1]
         # padding sentinel == s_v; clamp for the gather, the loss keeps the
