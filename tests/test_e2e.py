@@ -147,6 +147,21 @@ def test_resume(env):
     assert "ranking" in best
 
 
+def test_profile_dir_writes_traces(env, tmp_path):
+    """--profile_dir produces jax.profiler trace files (SURVEY §5: the
+    reference has no tracing; this must not crash on short epochs)."""
+    from conftest import load_entry
+    pretrain = load_entry('pretrain')
+    prof = tmp_path / "prof"
+    pretrain.main(common_flags(env) + [
+        "--pre_dataset", "ytb", "--prefix", "merge+", "--ranking",
+        "--save_name", "prof", "--num_epochs", "1",
+        "--profile_dir", str(prof)])
+    traces = list(prof.rglob("*.trace.json.gz")) + \
+        list(prof.rglob("*.xplane.pb"))
+    assert traces, list(prof.rglob("*"))
+
+
 def test_pretrain_bnb_entry(env):
     """BnB pretraining path (--pre_dataset bnb, Concatenate instructions)."""
     from conftest import load_entry

@@ -245,26 +245,29 @@ class Engine:
         self.train_loader.set_epoch(epoch)
         accum = args.gradient_accumulation_steps
         profiling = bool(args.profile_dir) and epoch == self.start_epoch
+        trace_started = False
         t0 = time.time()
         n = 0
         pending = []
         for batch in self._device_batches(self.train_loader, accum):
             if profiling and n == 2:
                 jax.profiler.start_trace(args.profile_dir)
+                trace_started = True
             self.rng, sub = jax.random.split(self.rng)
             self.state, metrics = self._train_step(self.state, batch, sub)
             pending.append(metrics)
             n += 1
-            if profiling and n == 8:
+            if trace_started and n == 8:
                 jax.block_until_ready(metrics)
                 jax.profiler.stop_trace()
-                profiling = False
+                profiling = trace_started = False
                 self.log.info(f"profiler trace written to {args.profile_dir}")
             if len(pending) >= 20:
                 self._log_metrics(epoch, n, pending)
                 pending = []
-        if profiling:  # short epoch: close the trace
+        if trace_started:  # short epoch: close the trace
             jax.profiler.stop_trace()
+            self.log.info(f"profiler trace written to {args.profile_dir}")
         if pending:
             self._log_metrics(epoch, n, pending)
         dt = time.time() - t0
