@@ -203,7 +203,11 @@ def load_torch_checkpoint(path: str, cfg: LilyConfig, params: Dict[str, Any]):
 
 def save_torch_checkpoint(path: str, params: Dict[str, Any], cfg: LilyConfig,
                           extra: Dict[str, Any] = None):
-    """Write a ``.bin`` loadable by the reference (utils_init.py:277-295)."""
+    """Write a ``.bin`` loadable by the reference (utils_init.py:277-295).
+
+    Atomic: writes to a sibling temp file and renames, so a crash mid-save
+    never corrupts (or half-overwrites) the previous checkpoint."""
+    import os
     import torch
     # copy: jax-backed arrays are non-writable views torch would warn about
     sd = {k: torch.from_numpy(np.array(v, copy=True))
@@ -211,4 +215,6 @@ def save_torch_checkpoint(path: str, params: Dict[str, Any], cfg: LilyConfig,
     payload = {"model_state_dict": sd}
     if extra:
         payload.update(extra)
-    torch.save(payload, path)
+    tmp = f"{path}.tmp"
+    torch.save(payload, tmp)
+    os.replace(tmp, path)
