@@ -341,13 +341,18 @@ class Loader:
 def device_prefetch(iterator, shardings=None, depth: int = 2):
     """Move batches to device ahead of consumption so H2D overlaps compute
     (the reference's pin_memory + non_blocking equivalent,
-    utils_init.py:201-204)."""
+    utils_init.py:201-204).
+
+    ``shardings`` may be a pytree matching the batch, or a callable
+    batch -> pytree-or-None (per-batch decisions, e.g. skipping the final
+    non-divisible eval batch)."""
     import jax
 
     def put(batch):
-        if shardings is None:
+        s = shardings(batch) if callable(shardings) else shardings
+        if s is None:
             return jax.device_put(batch)
-        return jax.tree_util.tree_map(jax.device_put, batch, shardings)
+        return jax.tree_util.tree_map(jax.device_put, batch, s)
 
     import collections
     buf = collections.deque()

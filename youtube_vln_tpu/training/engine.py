@@ -238,7 +238,34 @@ class Engine:
                 if accum > 1:
                     batch = microbatch_reshape(batch, accum)
                 yield batch
-        return device_prefetch(gen(), depth=self.args.host_prefetch)
+        return device_prefetch(gen(), shardings=self._batch_shardings(accum),
+                               depth=self.args.host_prefetch)
+
+    def _batch_shardings(self, accum: int):
+        """Shard host batches over the 'data' mesh axis at device_put time
+        (splitting H2D across chips instead of landing everything on device
+        0 and letting GSPMD reshard).  Falls back to default placement for
+        batches whose leading dim does not divide the axis (the final
+        drop_last=False eval batch)."""
+        from ..parallel.train_step import (make_accum_batch_shardings,
+                                           make_batch_shardings)
+
+        data_parallel = int(self.mesh.shape.get("data", 1))
+        if data_parallel <= 1:
+            return None
+        fn = make_accum_batch_shardings if accum > 1 else make_batch_shardings
+        cache = {}
+
+        def shardings_for(batch):
+            lead = next(iter(batch.values())).shape[1 if accum > 1 else 0]
+            if lead % data_parallel != 0:
+                return None
+            key = (lead, tuple(sorted(batch)))
+            if key not in cache:
+                cache[key] = fn(self.mesh, batch)
+            return cache[key]
+
+        return shardings_for
 
     def train_epoch(self, epoch: int) -> None:
         args = self.args
