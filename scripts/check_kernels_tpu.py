@@ -1,0 +1,137 @@
+"""On-chip validation of every fused kernel's dropout branch.
+
+The CPU interpreter cannot lower the on-core PRNG, so the properties that
+only matter with dropout active are checked here on the real TPU, for the
+epilogue AND both attention kernels:
+
+  1. determinism: same seed -> identical output;
+  2. drop fraction ~ rate (epilogue; the mask actually fires at the rate);
+  3. mask replay: each custom-VJP backward regenerates its forward's exact
+     mask.  Checked by directional finite differences through a probe the
+     output is LINEAR in (the attention kernels' V operand; the epilogue's
+     h at small eps) — linearity makes the FD exact up to f32 rounding, so
+     a replay mismatch shows up as an O(1) relative error while the noise
+     floor is <1%.  (A q-side probe is useless here: FD truncation from
+     softmax curvature dominates even with dropout off.)
+
+Exit code 0 = all checks pass.  Prints one JSON line.
+"""
+import json
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from youtube_vln_tpu.ops.epilogue import pallas_dropout_add_ln
+
+    assert jax.default_backend() in ("tpu", "axon"), (
+        f"needs the real chip, got {jax.default_backend()}")
+
+    rng = np.random.default_rng(0)
+    shape, rate = (2, 128, 256), 0.1
+    h = jnp.asarray(rng.normal(size=shape), jnp.float32)
+    res = jnp.asarray(rng.normal(size=shape), jnp.float32)
+    p = {"w": jnp.asarray(rng.normal(size=(shape[-1],)), jnp.float32),
+         "b": jnp.asarray(rng.normal(size=(shape[-1],)), jnp.float32)}
+    key = jax.random.PRNGKey(7)
+
+    fused = jax.jit(lambda hh: pallas_dropout_add_ln(
+        hh, res, p, rate=rate, rng=key, train=True))
+
+    # 1. determinism
+    o1, o2 = np.asarray(fused(h)), np.asarray(fused(h + 0.0))
+    assert np.array_equal(o1, o2), "same seed must give identical output"
+
+    # 2. drop fraction.  Feed a constant positive input with res=0, w=1,
+    # b=0: pre-LN rows are two-valued (kept -> const/keep, dropped -> 0),
+    # so after LN the dropped elements are exactly the row minima.  (A row
+    # with zero drops would normalize to all-zeros and miscount, but
+    # P[no drop in a 256-wide row] = 0.9^256 ~ 2e-12.)
+    probe = jax.jit(lambda hh: pallas_dropout_add_ln(
+        hh, jnp.zeros_like(res), {"w": jnp.ones_like(p["w"]),
+                                  "b": jnp.zeros_like(p["b"])},
+        rate=rate, rng=key, train=True))
+    out = np.asarray(probe(jnp.full(shape, 100.0, jnp.float32)))
+    drop_frac = float(np.mean(out <= out.min(axis=-1, keepdims=True) + 1e-3))
+    n = out.size
+    # binomial 5-sigma band around the rate
+    assert abs(drop_frac - rate) < 5 * np.sqrt(rate * (1 - rate) / n), (
+        f"drop fraction {drop_frac} vs rate {rate}")
+
+    # 3. mask replay via directional finite differences
+    u = jnp.asarray(rng.normal(size=shape), jnp.float32)
+    u = u / jnp.linalg.norm(u.ravel())
+    t = jnp.asarray(rng.normal(size=shape), jnp.float32)  # output probe
+
+    def f(hh):
+        return jnp.vdot(pallas_dropout_add_ln(
+            hh, res, p, rate=rate, rng=key, train=True), t)
+
+    g = jax.jit(jax.grad(f))(h)
+    analytic = float(jnp.vdot(g, u))
+    eps = 3e-2
+    fd = float((f(h + eps * u) - f(h - eps * u)) / (2 * eps))
+    rel = abs(analytic - fd) / max(abs(fd), 1e-6)
+    assert rel < 2e-2, (
+        f"directional derivative mismatch: analytic {analytic} vs fd {fd} "
+        f"(rel {rel:.4f}) — backward mask replay is broken")
+
+    # ---- attention kernels: mask replay via the LINEAR V operand ----
+    from youtube_vln_tpu.ops.attention import (pallas_attention_core,
+                                               pallas_bi_attention)
+
+    b_, hh_, s_, d_ = 2, 2, 128, 64
+    mk = lambda s: jnp.asarray(rng.normal(size=(b_, hh_, s, d_)), jnp.float32)
+    q, k, v = mk(s_), mk(s_), mk(s_)
+    mask = jnp.zeros((b_, 1, 1, s_), jnp.float32)
+    tprobe = mk(s_)
+    uv = mk(s_)  # unnormalized: keep the FD signal far above f32 noise
+
+    def f_attn(vv):
+        return jnp.vdot(pallas_attention_core(
+            q, k, vv, mask, dropout_rate=rate, rng=key, train=True), tprobe)
+
+    assert float(f_attn(v)) == float(f_attn(v + 0.0)), "attn not deterministic"
+    g = jax.jit(jax.grad(f_attn))(v)
+    analytic = float(jnp.vdot(g, uv))
+    fd_attn = float(f_attn(v + 0.5 * uv) - f_attn(v - 0.5 * uv))
+    rel_attn = abs(analytic - fd_attn) / max(abs(fd_attn), 1e-6)
+    assert rel_attn < 2e-2, (
+        f"attention dropout replay broken: {analytic} vs {fd_attn}")
+
+    s_t = 64
+    q2, k2, v2 = mk(s_t), mk(s_t), mk(s_t)
+    t_mask = jnp.zeros((b_, 1, 1, s_t), jnp.float32)
+    t1 = mk(s_t)
+
+    def f_bi(vv1, vv2):
+        c1, c2 = pallas_bi_attention(q, k, vv1, q2, k2, vv2, mask, t_mask,
+                                     rate1=rate, rate2=rate, rng=key,
+                                     train=True)
+        return jnp.vdot(c1, t1) + jnp.vdot(c2, tprobe)
+
+    g1, g2 = jax.jit(jax.grad(f_bi, argnums=(0, 1)))(v, v2)
+    u2 = mk(s_t)
+    analytic = float(jnp.vdot(g1, uv) + jnp.vdot(g2, u2))
+    fd_bi = float(f_bi(v + 0.5 * uv, v2 + 0.5 * u2)
+                  - f_bi(v - 0.5 * uv, v2 - 0.5 * u2))
+    rel_bi = abs(analytic - fd_bi) / max(abs(fd_bi), 1e-6)
+    assert rel_bi < 2e-2, (
+        f"bi-attention dropout replay broken: {analytic} vs {fd_bi}")
+
+    print(json.dumps({"kernel_tpu_checks": "ok",
+                      "drop_frac": round(drop_frac, 4),
+                      "epilogue_fd_rel": round(rel, 6),
+                      "attn_fd_rel": round(rel_attn, 6),
+                      "bi_attn_fd_rel": round(rel_bi, 6)}))
+
+
+if __name__ == "__main__":
+    main()

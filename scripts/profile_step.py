@@ -106,9 +106,12 @@ def main():
     results = {}
     for name in variants:
         import dataclasses
-        if name in ("full", "full_xla"):
-            c = cfg if name == "full" else dataclasses.replace(
-                cfg, use_pallas_attention=False)
+        if name in ("full", "full_xla", "full_noepi"):
+            c = cfg
+            if name == "full_xla":
+                c = dataclasses.replace(cfg, use_pallas_attention=False)
+            elif name == "full_noepi":
+                c = dataclasses.replace(cfg, use_pallas_epilogue=False)
             # donated chain: own param copy so later variants keep
             # dparams alive
             pcopy = jax.tree_util.tree_map(lambda x: x.copy(), dparams)

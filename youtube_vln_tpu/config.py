@@ -65,6 +65,12 @@ class LilyConfig:
     # TPU-specific knobs (no reference equivalent)
     compute_dtype: str = "float32"      # "float32" | "bfloat16"
     use_pallas_attention: bool = False  # fused Pallas attention kernels
+    # fused dropout+add+LN epilogue (ops/epilogue.py; needs the above).
+    # Off by default: measured ~5 ms SLOWER than XLA's fused uint8-dropout
+    # path at the flagship geometry (267.6 vs 262.6 ms/step, v5e r2) — the
+    # kernel only removes the mask HBM traffic, which XLA already made
+    # cheap, at the cost of 48 extra kernel launches per step.
+    use_pallas_epilogue: bool = False
     remat: bool = False                 # jax.checkpoint each encoder block
 
     def __post_init__(self):

@@ -195,7 +195,7 @@ def bi_attention(p, cfg: LilyConfig, v_x, v_mask, t_x, t_mask, *,
 
 def connection_layer(p, cfg: LilyConfig, v_x, v_mask, t_x, t_mask, *,
                      rng=None, train=False, attention_fn=None,
-                     bi_attention_fn=None):
+                     bi_attention_fn=None, epilogue_fn=None):
     """BertConnectionLayer (reference vilbert.py:652-679)."""
     rngs = jax.random.split(rng, 5) if rng is not None else (None,) * 5
     ctx_t, ctx_v = bi_attention(p["bi"], cfg, v_x, v_mask, t_x, t_mask,
@@ -205,18 +205,18 @@ def connection_layer(p, cfg: LilyConfig, v_x, v_mask, t_x, t_mask, *,
     # BertBiOutput (vilbert.py:620-650): hidden_states1=ctx_v (vision side),
     # hidden_states2=ctx_t (text side)
     o = p["out"]
-    v_res = L.dropout(L.linear(ctx_v, o["dense1"]), cfg.v_hidden_dropout_prob,
-                      rngs[1], train)
-    t_res = L.dropout(L.linear(ctx_t, o["dense2"]), cfg.hidden_dropout_prob,
-                      rngs[2], train)
-    v_att = L.layer_norm(v_res + v_x, o["ln1"])
-    t_att = L.layer_norm(t_res + t_x, o["ln2"])
+    v_att = L.dropout_add_ln(L.linear(ctx_v, o["dense1"]), v_x, o["ln1"],
+                             cfg.v_hidden_dropout_prob, rngs[1], train,
+                             epilogue_fn)
+    t_att = L.dropout_add_ln(L.linear(ctx_t, o["dense2"]), t_x, o["ln2"],
+                             cfg.hidden_dropout_prob, rngs[2], train,
+                             epilogue_fn)
     v_out = L.ffn_block(v_att, p["v_ffn"], cfg.v_hidden_act,
                         hidden_dropout=cfg.v_hidden_dropout_prob,
-                        rng=rngs[3], train=train)
+                        rng=rngs[3], train=train, epilogue_fn=epilogue_fn)
     t_out = L.ffn_block(t_att, p["t_ffn"], cfg.hidden_act,
                         hidden_dropout=cfg.hidden_dropout_prob,
-                        rng=rngs[4], train=train)
+                        rng=rngs[4], train=train, epilogue_fn=epilogue_fn)
     return v_out, t_out
 
 
@@ -229,7 +229,7 @@ def _maybe_remat(fn, enabled):
 
 def encoder(params, cfg: LilyConfig, t_x, v_x, t_mask, v_mask, *,
             rng=None, train=False, attention_fn=None,
-            bi_attention_fn=None):
+            bi_attention_fn=None, epilogue_fn=None):
     """Interleave vision/text layers with connection layers at the
     (v_biattention_id, t_biattention_id) schedule (reference
     vilbert.py:712-818).  Frozen prefixes (fixed_t_layer / fixed_v_layer)
@@ -248,7 +248,7 @@ def encoder(params, cfg: LilyConfig, t_x, v_x, t_mask, v_mask, *,
                 xx, t_mask, params["text_layers"][i], cfg.num_attention_heads,
                 cfg.hidden_act, attn_dropout=cfg.attention_probs_dropout_prob,
                 hidden_dropout=cfg.hidden_dropout_prob, rng=r, train=train,
-                attention_fn=attention_fn),
+                attention_fn=attention_fn, epilogue_fn=epilogue_fn),
             cfg.remat)
         return fn(x)
 
@@ -261,7 +261,7 @@ def encoder(params, cfg: LilyConfig, t_x, v_x, t_mask, v_mask, *,
                 cfg.v_hidden_act,
                 attn_dropout=cfg.v_attention_probs_dropout_prob,
                 hidden_dropout=cfg.v_hidden_dropout_prob, rng=r, train=train,
-                attention_fn=attention_fn),
+                attention_fn=attention_fn, epilogue_fn=epilogue_fn),
             cfg.remat)
         return fn(x)
 
@@ -300,7 +300,7 @@ def encoder(params, cfg: LilyConfig, t_x, v_x, t_mask, v_mask, *,
                 lambda vv, tt, c=count, rr=r: connection_layer(
                     params["cross_layers"][c], cfg, vv, v_mask, tt, t_mask,
                     rng=rr, train=train, attention_fn=attention_fn,
-                    bi_attention_fn=bi_attention_fn),
+                    bi_attention_fn=bi_attention_fn, epilogue_fn=epilogue_fn),
                 cfg.remat)
             v_x, t_x = fn(v_x, t_x)
 
@@ -354,7 +354,7 @@ def fuse_pooled(cfg: LilyConfig, pooled_t, pooled_v):
 def bert_model(params, cfg: LilyConfig, instr_tokens, image_features,
                image_locations, token_type_ids=None, attention_mask=None,
                image_attention_mask=None, *, rng=None, train=False,
-               attention_fn=None, bi_attention_fn=None):
+               attention_fn=None, bi_attention_fn=None, epilogue_fn=None):
     """Reference BertModel.forward (vilbert.py:1242-1337).
 
     All inputs are dense, statically-shaped arrays; candidate padding is
@@ -366,6 +366,9 @@ def bert_model(params, cfg: LilyConfig, instr_tokens, image_features,
         attention_fn = select_attention_fn(cfg)
         if bi_attention_fn is None:
             bi_attention_fn = select_bi_attention_fn(cfg)
+        if epilogue_fn is None:
+            from ..ops.epilogue import select_epilogue_fn
+            epilogue_fn = select_epilogue_fn(cfg)
 
     if attention_mask is None:
         attention_mask = jnp.ones_like(instr_tokens)
@@ -388,7 +391,8 @@ def bert_model(params, cfg: LilyConfig, instr_tokens, image_features,
 
     seq_t, seq_v = encoder(params, cfg, t_x, v_x, t_mask, v_mask,
                            rng=rngs[2], train=train, attention_fn=attention_fn,
-                           bi_attention_fn=bi_attention_fn)
+                           bi_attention_fn=bi_attention_fn,
+                           epilogue_fn=epilogue_fn)
 
     pooled_t = pooler(seq_t, params["t_pooler"])
     pooled_v = pooler(seq_v, params["v_pooler"])

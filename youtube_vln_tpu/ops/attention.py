@@ -29,6 +29,8 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from .partition import sharded_batch_call
+
 
 def _interpret() -> bool:
     # run kernels through the Pallas interpreter off-TPU (CPU test meshes)
@@ -43,15 +45,18 @@ def _dropout_mask(shape, rate: float):
     return bits >= threshold
 
 
-def _fwd_kernel(seed_ref, q_ref, k_ref, v_ref, bias_ref, out_ref, *,
-                scale: float, dropout_rate: float):
+def _fwd_kernel(seed_ref, rowid_ref, q_ref, k_ref, v_ref, bias_ref, out_ref,
+                *, scale: float, dropout_rate: float):
     s = jax.lax.dot_general(
         q_ref[0], k_ref[0], (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32) * scale
     s = s + bias_ref[0].astype(jnp.float32)  # (1, s_kv) broadcast
     p = jax.nn.softmax(s, axis=-1)
     if dropout_rate > 0.0:
-        pltpu.prng_seed(seed_ref[0].astype(jnp.int32) + pl.program_id(0))
+        # seed by GLOBAL row id (not program_id): under SPMD partitioning
+        # each shard restarts program_id at 0, which would replay the same
+        # masks on every chip; rowid is sharded with the data
+        pltpu.prng_seed(seed_ref[0].astype(jnp.int32) + _my_row_id(rowid_ref))
         keep = _dropout_mask(p.shape, dropout_rate)
         p = jnp.where(keep, p / (1.0 - dropout_rate), 0.0)
     out_ref[0] = jax.lax.dot_general(
@@ -59,7 +64,7 @@ def _fwd_kernel(seed_ref, q_ref, k_ref, v_ref, bias_ref, out_ref, *,
         preferred_element_type=jnp.float32).astype(out_ref.dtype)
 
 
-def _bwd_kernel(seed_ref, q_ref, k_ref, v_ref, bias_ref, do_ref,
+def _bwd_kernel(seed_ref, rowid_ref, q_ref, k_ref, v_ref, bias_ref, do_ref,
                 dq_ref, dk_ref, dv_ref, *, scale: float,
                 dropout_rate: float):
     # recompute probabilities exactly as the forward did
@@ -69,7 +74,7 @@ def _bwd_kernel(seed_ref, q_ref, k_ref, v_ref, bias_ref, do_ref,
     s = s + bias_ref[0].astype(jnp.float32)  # (1, s_kv) broadcast
     p = jax.nn.softmax(s, axis=-1)
     if dropout_rate > 0.0:
-        pltpu.prng_seed(seed_ref[0].astype(jnp.int32) + pl.program_id(0))
+        pltpu.prng_seed(seed_ref[0].astype(jnp.int32) + _my_row_id(rowid_ref))
         keep = _dropout_mask(p.shape, dropout_rate)
         p_drop = jnp.where(keep, p / (1.0 - dropout_rate), 0.0)
     else:
@@ -112,6 +117,22 @@ def _specs(s_q, s_kv, d, num_heads):
     return qspec, kspec, bspec
 
 
+# global row ids [bh, 1] i32 for dropout seeding, one per program.  Mosaic
+# requires the trailing block dims to be (8k, 128m) or whole-array, so the
+# block is (8, 1) covering programs 8i..8i+7; ids are consecutive, so a
+# program recovers its own id as block_base + program_id % 8.
+_ROWSPEC = pl.BlockSpec((8, 1), lambda i, *_: (i // 8, 0),
+                        memory_space=pltpu.VMEM)
+
+
+def _row_ids(n: int):
+    return jnp.arange(n, dtype=jnp.int32).reshape(n, 1)
+
+
+def _my_row_id(rowid_ref):
+    return rowid_ref[0, 0] + pl.program_id(0) % 8
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
 def _fused_attention(q, k, v, bias, seed, dropout_rate, train, num_heads):
     out, _ = _fused_attention_fwd(q, k, v, bias, seed, dropout_rate, train,
@@ -124,29 +145,37 @@ def _seed_arr(seed):
 
 
 def _run_fwd(q, k, v, bias, dropout_rate, seed, num_heads):
-    bh, s_q, d = q.shape
-    s_kv = k.shape[1]
-    qspec, kspec, bspec = _specs(s_q, s_kv, d, num_heads)
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(bh,),
-        in_specs=[qspec, kspec, kspec, bspec],
-        out_specs=qspec,
-    )
-    kernel = functools.partial(_fwd_kernel, scale=1.0 / math.sqrt(d),
-                               dropout_rate=dropout_rate)
-    return pl.pallas_call(
-        kernel,
-        grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024),
-        cost_estimate=pl.CostEstimate(
-            flops=4 * bh * s_q * s_kv * d,
-            bytes_accessed=2 * bh * (s_q + s_kv) * d * q.dtype.itemsize,
-            transcendentals=bh * s_q * s_kv),
-        interpret=_interpret(),
-    )(_seed_arr(seed), q, k, v, bias)
+    del num_heads
+
+    def call(seed_arr, rowid, q, k, v, bias):
+        # everything static is derived from the (possibly per-shard) shapes
+        bh, s_q, d = q.shape
+        s_kv = k.shape[1]
+        qspec, kspec, bspec = _specs(s_q, s_kv, d, None)
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(bh,),
+            in_specs=[_ROWSPEC, qspec, kspec, kspec, bspec],
+            out_specs=qspec,
+        )
+        kernel = functools.partial(_fwd_kernel, scale=1.0 / math.sqrt(d),
+                                   dropout_rate=dropout_rate)
+        return pl.pallas_call(
+            kernel,
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024),
+            cost_estimate=pl.CostEstimate(
+                flops=4 * bh * s_q * s_kv * d,
+                bytes_accessed=2 * bh * (s_q + s_kv) * d * q.dtype.itemsize,
+                transcendentals=bh * s_q * s_kv),
+            interpret=_interpret(),
+        )(seed_arr, rowid, q, k, v, bias)
+
+    return sharded_batch_call(
+        call, (_seed_arr(seed), _row_ids(q.shape[0]), q, k, v, bias),
+        out_ranks=(3,))
 
 
 def _fused_attention_fwd(q, k, v, bias, seed, dropout_rate, train,
@@ -157,33 +186,40 @@ def _fused_attention_fwd(q, k, v, bias, seed, dropout_rate, train,
 
 
 def _fused_attention_bwd(dropout_rate, train, num_heads, residuals, do):
+    del num_heads
     q, k, v, bias, seed = residuals
     rate = dropout_rate if train else 0.0
-    bh, s_q, d = q.shape
-    s_kv = k.shape[1]
-    qspec, kspec, bspec = _specs(s_q, s_kv, d, num_heads)
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(bh,),
-        in_specs=[qspec, kspec, kspec, bspec, qspec],
-        out_specs=(qspec, kspec, kspec),
-    )
-    kernel = functools.partial(_bwd_kernel, scale=1.0 / math.sqrt(d),
-                               dropout_rate=rate)
-    dq, dk, dv = pl.pallas_call(
-        kernel,
-        grid_spec=grid_spec,
-        out_shape=(jax.ShapeDtypeStruct(q.shape, q.dtype),
-                   jax.ShapeDtypeStruct(k.shape, k.dtype),
-                   jax.ShapeDtypeStruct(v.shape, v.dtype)),
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024),
-        cost_estimate=pl.CostEstimate(
-            flops=11 * bh * s_q * s_kv * d,
-            bytes_accessed=5 * bh * (s_q + s_kv) * d * q.dtype.itemsize,
-            transcendentals=bh * s_q * s_kv),
-        interpret=_interpret(),
-    )(_seed_arr(seed), q, k, v, bias, do)
+
+    def call(seed_arr, rowid, q, k, v, bias, do):
+        bh, s_q, d = q.shape
+        s_kv = k.shape[1]
+        qspec, kspec, bspec = _specs(s_q, s_kv, d, None)
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(bh,),
+            in_specs=[_ROWSPEC, qspec, kspec, kspec, bspec, qspec],
+            out_specs=(qspec, kspec, kspec),
+        )
+        kernel = functools.partial(_bwd_kernel, scale=1.0 / math.sqrt(d),
+                                   dropout_rate=rate)
+        return pl.pallas_call(
+            kernel,
+            grid_spec=grid_spec,
+            out_shape=(jax.ShapeDtypeStruct(q.shape, q.dtype),
+                       jax.ShapeDtypeStruct(k.shape, k.dtype),
+                       jax.ShapeDtypeStruct(v.shape, v.dtype)),
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024),
+            cost_estimate=pl.CostEstimate(
+                flops=11 * bh * s_q * s_kv * d,
+                bytes_accessed=5 * bh * (s_q + s_kv) * d * q.dtype.itemsize,
+                transcendentals=bh * s_q * s_kv),
+            interpret=_interpret(),
+        )(seed_arr, rowid, q, k, v, bias, do)
+
+    dq, dk, dv = sharded_batch_call(
+        call, (_seed_arr(seed), _row_ids(q.shape[0]), q, k, v, bias, do),
+        out_ranks=(3, 3, 3))
     return dq, dk, dv, jnp.zeros_like(bias), jnp.zeros_like(seed)
 
 
@@ -230,16 +266,16 @@ def pallas_attention_core(q, k, v, mask, *, dropout_rate: float = 0.0,
 # fused bi-directional cross attention (both directions of BertBiAttention
 # in ONE kernel launch; reference vilbert/vilbert.py:552-618)
 # --------------------------------------------------------------------------- #
-def _bi_fwd_kernel(seed_ref, q1_ref, k1_ref, v1_ref, q2_ref, k2_ref, v2_ref,
-                   vbias_ref, tbias_ref, ctx1_ref, ctx2_ref, *,
-                   scale: float, rate1: float, rate2: float):
+def _bi_fwd_kernel(seed_ref, rowid_ref, q1_ref, k1_ref, v1_ref, q2_ref,
+                   k2_ref, v2_ref, vbias_ref, tbias_ref, ctx1_ref, ctx2_ref,
+                   *, scale: float, rate1: float, rate2: float):
     """Per (batch*head) program:
          ctx1 = softmax(q2 k1^T + vbias) v1   (text queries -> vision KV)
          ctx2 = softmax(q1 k2^T + tbias) v2   (vision queries -> text KV)
     Dropout draws two masks from one seeded stream; the backward kernel
     replays the identical call order."""
     if rate1 > 0.0 or rate2 > 0.0:
-        pltpu.prng_seed(seed_ref[0].astype(jnp.int32) + pl.program_id(0))
+        pltpu.prng_seed(seed_ref[0].astype(jnp.int32) + _my_row_id(rowid_ref))
 
     s1 = jax.lax.dot_general(
         q2_ref[0], k1_ref[0], (((1,), (1,)), ((), ())),
@@ -266,12 +302,12 @@ def _bi_fwd_kernel(seed_ref, q1_ref, k1_ref, v1_ref, q2_ref, k2_ref, v2_ref,
         preferred_element_type=jnp.float32).astype(ctx2_ref.dtype)
 
 
-def _bi_bwd_kernel(seed_ref, q1_ref, k1_ref, v1_ref, q2_ref, k2_ref, v2_ref,
-                   vbias_ref, tbias_ref, do1_ref, do2_ref,
+def _bi_bwd_kernel(seed_ref, rowid_ref, q1_ref, k1_ref, v1_ref, q2_ref,
+                   k2_ref, v2_ref, vbias_ref, tbias_ref, do1_ref, do2_ref,
                    dq1_ref, dk1_ref, dv1_ref, dq2_ref, dk2_ref, dv2_ref, *,
                    scale: float, rate1: float, rate2: float):
     if rate1 > 0.0 or rate2 > 0.0:
-        pltpu.prng_seed(seed_ref[0].astype(jnp.int32) + pl.program_id(0))
+        pltpu.prng_seed(seed_ref[0].astype(jnp.int32) + _my_row_id(rowid_ref))
 
     # ---- direction 1: recompute p1, then dV1 / dQ2 / dK1 ----
     s1 = jax.lax.dot_general(
@@ -360,31 +396,39 @@ def _fused_bi_attention_fwd(q1, k1, v1, q2, k2, v2, vbias, tbias, seed,
                             rate1, rate2, train):
     if not train:
         rate1 = rate2 = 0.0
-    bh, s_v, d = q1.shape
-    s_t = q2.shape[1]
-    vspec, tspec, vbspec, tbspec = _bi_specs(s_v, s_t, d)
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(bh,),
-        in_specs=[vspec, vspec, vspec, tspec, tspec, tspec, vbspec, tbspec],
-        out_specs=(tspec, vspec),
-    )
-    kernel = functools.partial(_bi_fwd_kernel, scale=1.0 / math.sqrt(d),
-                               rate1=rate1, rate2=rate2)
-    flops = 4 * bh * s_t * s_v * d          # 2 matmuls per direction
-    ctx1, ctx2 = pl.pallas_call(
-        kernel,
-        grid_spec=grid_spec,
-        out_shape=(jax.ShapeDtypeStruct((bh, s_t, d), q2.dtype),
-                   jax.ShapeDtypeStruct((bh, s_v, d), q1.dtype)),
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024),
-        cost_estimate=pl.CostEstimate(
-            flops=flops,
-            bytes_accessed=8 * bh * (s_v + s_t) * d * q1.dtype.itemsize,
-            transcendentals=2 * bh * s_t * s_v),
-        interpret=_interpret(),
-    )(_seed_arr(seed), q1, k1, v1, q2, k2, v2, vbias, tbias)
+
+    def call(seed_arr, rowid, q1, k1, v1, q2, k2, v2, vbias, tbias):
+        bh, s_v, d = q1.shape
+        s_t = q2.shape[1]
+        vspec, tspec, vbspec, tbspec = _bi_specs(s_v, s_t, d)
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(bh,),
+            in_specs=[_ROWSPEC, vspec, vspec, vspec, tspec, tspec, tspec,
+                      vbspec, tbspec],
+            out_specs=(tspec, vspec),
+        )
+        kernel = functools.partial(_bi_fwd_kernel, scale=1.0 / math.sqrt(d),
+                                   rate1=rate1, rate2=rate2)
+        flops = 4 * bh * s_t * s_v * d          # 2 matmuls per direction
+        return pl.pallas_call(
+            kernel,
+            grid_spec=grid_spec,
+            out_shape=(jax.ShapeDtypeStruct((bh, s_t, d), q2.dtype),
+                       jax.ShapeDtypeStruct((bh, s_v, d), q1.dtype)),
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024),
+            cost_estimate=pl.CostEstimate(
+                flops=flops,
+                bytes_accessed=8 * bh * (s_v + s_t) * d * q1.dtype.itemsize,
+                transcendentals=2 * bh * s_t * s_v),
+            interpret=_interpret(),
+        )(seed_arr, rowid, q1, k1, v1, q2, k2, v2, vbias, tbias)
+
+    ctx1, ctx2 = sharded_batch_call(
+        call, (_seed_arr(seed), _row_ids(q1.shape[0]),
+               q1, k1, v1, q2, k2, v2, vbias, tbias),
+        out_ranks=(3, 3))
     return (ctx1, ctx2), (q1, k1, v1, q2, k2, v2, vbias, tbias, seed)
 
 
@@ -393,35 +437,43 @@ def _fused_bi_attention_bwd(rate1, rate2, train, residuals, dout):
     do1, do2 = dout
     if not train:
         rate1 = rate2 = 0.0
-    bh, s_v, d = q1.shape
-    s_t = q2.shape[1]
-    vspec, tspec, vbspec, tbspec = _bi_specs(s_v, s_t, d)
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(bh,),
-        in_specs=[vspec, vspec, vspec, tspec, tspec, tspec, vbspec, tbspec,
-                  tspec, vspec],
-        out_specs=(vspec, vspec, vspec, tspec, tspec, tspec),
-    )
-    kernel = functools.partial(_bi_bwd_kernel, scale=1.0 / math.sqrt(d),
-                               rate1=rate1, rate2=rate2)
-    grads = pl.pallas_call(
-        kernel,
-        grid_spec=grid_spec,
-        out_shape=(jax.ShapeDtypeStruct(q1.shape, q1.dtype),
-                   jax.ShapeDtypeStruct(k1.shape, k1.dtype),
-                   jax.ShapeDtypeStruct(v1.shape, v1.dtype),
-                   jax.ShapeDtypeStruct(q2.shape, q2.dtype),
-                   jax.ShapeDtypeStruct(k2.shape, k2.dtype),
-                   jax.ShapeDtypeStruct(v2.shape, v2.dtype)),
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024),
-        cost_estimate=pl.CostEstimate(
-            flops=11 * bh * s_t * s_v * d,
-            bytes_accessed=14 * bh * (s_v + s_t) * d * q1.dtype.itemsize,
-            transcendentals=2 * bh * s_t * s_v),
-        interpret=_interpret(),
-    )(_seed_arr(seed), q1, k1, v1, q2, k2, v2, vbias, tbias, do1, do2)
+
+    def call(seed_arr, rowid, q1, k1, v1, q2, k2, v2, vbias, tbias,
+             do1, do2):
+        bh, s_v, d = q1.shape
+        s_t = q2.shape[1]
+        vspec, tspec, vbspec, tbspec = _bi_specs(s_v, s_t, d)
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(bh,),
+            in_specs=[_ROWSPEC, vspec, vspec, vspec, tspec, tspec, tspec,
+                      vbspec, tbspec, tspec, vspec],
+            out_specs=(vspec, vspec, vspec, tspec, tspec, tspec),
+        )
+        kernel = functools.partial(_bi_bwd_kernel, scale=1.0 / math.sqrt(d),
+                                   rate1=rate1, rate2=rate2)
+        return pl.pallas_call(
+            kernel,
+            grid_spec=grid_spec,
+            out_shape=(jax.ShapeDtypeStruct(q1.shape, q1.dtype),
+                       jax.ShapeDtypeStruct(k1.shape, k1.dtype),
+                       jax.ShapeDtypeStruct(v1.shape, v1.dtype),
+                       jax.ShapeDtypeStruct(q2.shape, q2.dtype),
+                       jax.ShapeDtypeStruct(k2.shape, k2.dtype),
+                       jax.ShapeDtypeStruct(v2.shape, v2.dtype)),
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024),
+            cost_estimate=pl.CostEstimate(
+                flops=11 * bh * s_t * s_v * d,
+                bytes_accessed=14 * bh * (s_v + s_t) * d * q1.dtype.itemsize,
+                transcendentals=2 * bh * s_t * s_v),
+            interpret=_interpret(),
+        )(seed_arr, rowid, q1, k1, v1, q2, k2, v2, vbias, tbias, do1, do2)
+
+    grads = sharded_batch_call(
+        call, (_seed_arr(seed), _row_ids(q1.shape[0]),
+               q1, k1, v1, q2, k2, v2, vbias, tbias, do1, do2),
+        out_ranks=(3, 3, 3, 3, 3, 3))
     dq1, dk1, dv1, dq2, dk2, dv2 = grads
     return (dq1, dk1, dv1, dq2, dk2, dv2,
             jnp.zeros_like(vbias), jnp.zeros_like(tbias),
