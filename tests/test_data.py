@@ -4,6 +4,7 @@ import pytest
 
 from youtube_vln_tpu.config import RunConfig
 from youtube_vln_tpu.data import fixtures as F
+from youtube_vln_tpu.data import instructions as I
 from youtube_vln_tpu.data import sampling as S
 from youtube_vln_tpu.data.features_reader import (
     PanoFeaturesReader, YTbFeaturesReader)
@@ -635,3 +636,62 @@ def test_sparse_vision_targets_end_to_end(ytb_env):
     assert np.isfinite(float(metrics["loss/vision"]))
     assert float(metrics["loss/vision"]) > 0
     reader.close()
+
+
+def test_tokenize_highlight_perturbation_parity(tmp_path):
+    """Our tokenize_dataset equals the reference tokenize() on the optional
+    highlight/perturbation fields (reference common.py:114-192; inert in
+    every published recipe but part of the tokenize surface)."""
+    import copy
+    import sys
+    import types
+
+    from conftest import REFERENCE_ROOT, import_reference_vilbert
+    import fake_lmdb
+
+    # pull the REAL requests package into sys.modules before the reference
+    # import helper stubs it (transformers -> huggingface_hub needs
+    # requests.exceptions, which the bare stub lacks)
+    import requests  # noqa: F401
+
+    import_reference_vilbert()
+    fake_lmdb.install()
+    sys.modules.setdefault("pyfiglet", types.ModuleType("pyfiglet"))
+    sys.modules["pyfiglet"].figlet_format = lambda *a, **k: ""
+    if "argtyped" not in sys.modules:
+        argtyped = types.ModuleType("argtyped")
+
+        class Arguments:
+            def __init_subclass__(cls, **kw):
+                pass
+
+        argtyped.Arguments = Arguments
+        sys.modules["argtyped"] = argtyped
+    from utils.dataset.common import tokenize as ref_tokenize
+
+    tok = F.write_fixture_vocab(tmp_path / "vocab.txt")
+    items = [{
+        "instructions": ["walk into the kitchen and stop",
+                         "go past the table"],
+        "highlights": [["kitchen", "stop", "zzzqqq"], ["table"]],
+        "perturbations": [["walk into the table and stop"],
+                          ["go past the kitchen"]],
+        "perturbation_highlights": [[["table", "walk"]], [["kitchen"]]],
+    }, {
+        # no optional fields: only instruction_tokens must appear
+        "instructions": ["turn left"],
+    }]
+    max_len = 12
+
+    ours = copy.deepcopy(items)
+    I.tokenize_dataset(ours, tok, max_len)
+    theirs = copy.deepcopy(items)
+    ref_tokenize(theirs, tok, max_len)
+
+    assert ours == theirs
+    assert "instruction_highlights" not in ours[1]
+    # masks align with the framed token rows
+    row = ours[0]["instruction_tokens"][0]
+    hl = ours[0]["instruction_highlights"][0]
+    assert len(hl) == max_len and any(hl)
+    assert hl[row.index(tok.vocab["kitchen"])]

@@ -48,13 +48,76 @@ def frame_tokens(tokenizer, instruction: str, max_len: int) -> List[int]:
     return ids + [pad] * (max_len - len(ids))
 
 
+def _subseq_index(needle: List[int], haystack: List[int]) -> int:
+    """First start index of needle as a contiguous run in haystack, or -1."""
+    n, m = len(haystack), len(needle)
+    for i in range(n - m + 1):
+        if haystack[i:i + m] == needle:
+            return i
+    return -1
+
+
+def highlight_mask(tokenizer, words: Sequence[str], token_ids: List[int],
+                   max_len: int) -> List[bool]:
+    """Token-aligned highlight mask (reference common.py:140-158).
+
+    Scans left to right: each highlight word is wordpiece-tokenized and
+    located as a contiguous id run at or after the cursor; words that don't
+    appear are skipped.  Positions up to and including each match flip the
+    matched span to True; the mask is False-padded to max_len.  token_ids
+    is the framed [CLS]..[SEP][PAD]* row — no real word tokenizes to the
+    pad id, so searching the padded row equals the reference's unpadded
+    search.
+    """
+    mask: List[bool] = []
+    cursor = 0
+    for word in words:
+        ids = tokenizer.convert_tokens_to_ids(tokenizer.tokenize(word))
+        at = _subseq_index(ids, token_ids[cursor:])
+        if at == -1:
+            continue
+        mask += [False] * at + [True] * len(ids)
+        cursor += at + len(ids)
+    return mask + [False] * (max_len - len(mask))
+
+
 def tokenize_dataset(data: List[Dict], tokenizer, max_len: int) -> None:
-    """In-place tokenization of {"instructions": [...]} items."""
+    """In-place tokenization of {"instructions": [...]} items.
+
+    Mirrors reference tokenize() (common.py:114-192) including the optional
+    variants, produced only when the source JSON carries the fields (inert
+    in every published Lily recipe, see SURVEY.md §6):
+      * "highlights"             -> "instruction_highlights" bool masks
+      * "perturbations"          -> "perturbation_tokens" framed id rows
+      * "perturbation_highlights"-> "perturbation_highlight_masks"
+    """
     for item in data:
-        item["instruction_tokens"] = [
-            frame_tokens(tokenizer, instr, max_len)
-            for instr in item["instructions"]
-        ]
+        item["instruction_tokens"] = []
+        if "highlights" in item:
+            item["instruction_highlights"] = []
+        if "perturbations" in item:
+            item["perturbation_tokens"] = [[] for _ in item["instructions"]]
+        if "perturbation_highlights" in item:
+            item["perturbation_highlight_masks"] = [
+                [] for _ in item["instructions"]]
+
+        for i, instr in enumerate(item["instructions"]):
+            tokens = frame_tokens(tokenizer, instr, max_len)
+            item["instruction_tokens"].append(tokens)
+            if "highlights" in item:
+                item["instruction_highlights"].append(
+                    highlight_mask(tokenizer, item["highlights"][i], tokens,
+                                   max_len))
+            if "perturbations" in item:
+                for j, perturbed in enumerate(item["perturbations"][i]):
+                    ptokens = frame_tokens(tokenizer, perturbed, max_len)
+                    item["perturbation_tokens"][i].append(ptokens)
+                    if "perturbation_highlights" in item:
+                        item["perturbation_highlight_masks"][i].append(
+                            highlight_mask(
+                                tokenizer,
+                                item["perturbation_highlights"][i][j],
+                                ptokens, max_len))
 
 
 def load_tokens(path: PathLike, tokenizer, max_len: int) -> List[Dict]:
