@@ -816,3 +816,64 @@ def test_split_and_freeze(tmp_path):
     for entry in frozen.values():
         assert len(entry) == 5
     reader.close()
+
+
+def test_alexnet_places365_matches_torch(rng):
+    """Random-weight parity for step 5b's indoor scorer vs a torch oracle
+    in the torchvision AlexNet layout the places365 checkpoint uses
+    (filter_outdoor_maskrcnn_coco.py:49-66)."""
+    import torch
+    import torch.nn as nn
+    from youtube_vln_tpu.pipeline import places365 as P
+
+    class AlexNet(nn.Module):
+        def __init__(self, num_classes=7):
+            super().__init__()
+            self.features = nn.Sequential(
+                nn.Conv2d(3, 64, 11, 4, 2), nn.ReLU(True), nn.MaxPool2d(3, 2),
+                nn.Conv2d(64, 192, 5, padding=2), nn.ReLU(True),
+                nn.MaxPool2d(3, 2),
+                nn.Conv2d(192, 384, 3, padding=1), nn.ReLU(True),
+                nn.Conv2d(384, 256, 3, padding=1), nn.ReLU(True),
+                nn.Conv2d(256, 256, 3, padding=1), nn.ReLU(True),
+                nn.MaxPool2d(3, 2))
+            self.avgpool = nn.AdaptiveAvgPool2d((6, 6))
+            self.classifier = nn.Sequential(
+                nn.Dropout(), nn.Linear(256 * 6 * 6, 4096), nn.ReLU(True),
+                nn.Dropout(), nn.Linear(4096, 4096), nn.ReLU(True),
+                nn.Linear(4096, num_classes))
+
+        def forward(self, x):
+            x = self.avgpool(self.features(x))
+            return self.classifier(torch.flatten(x, 1))
+
+    torch.manual_seed(0)
+    model = AlexNet().eval()
+    x = rng.normal(size=(2, 3, 224, 224)).astype(np.float32) * 0.5
+    with torch.no_grad():
+        ref = model(torch.from_numpy(x)).numpy()
+
+    # DataParallel-style "module." prefixes must be tolerated
+    sd = {f"module.{k}": v for k, v in model.state_dict().items()}
+    params = P.alexnet_params_from_torch_state_dict(sd)
+    logits = P.alexnet_forward(params, np.transpose(x, (0, 2, 3, 1)))
+    np.testing.assert_allclose(np.asarray(logits), ref, atol=3e-4, rtol=1e-4)
+
+
+def test_alexnet_indoor_scorer_drives_person_filter(rng):
+    """alexnet_indoor_probs (classify_indoors equivalent) produces valid
+    per-frame probabilities from raw uint8 frames and feeds
+    filters.filter_frames."""
+    import jax
+    from youtube_vln_tpu.pipeline import filters as FL
+    from youtube_vln_tpu.pipeline import places365 as P
+
+    params = P.init_alexnet_params(jax.random.PRNGKey(0), num_classes=9)
+    frames = (rng.random((3, 60, 84, 3)) * 255).astype(np.uint8)
+    is_indoor = np.array([1, 0, 1, 0, 0, 1, 0, 0, 1])
+    probs = P.alexnet_indoor_probs(params, frames, is_indoor, batch_size=2)
+    assert probs.shape == (3,)
+    assert np.all((probs >= 0) & (probs <= 1))
+    data = FL.filter_frames(probs, [0.0, 1.0, 0.0],
+                            ["0001.jpg", "0002.jpg", "0003.jpg"])
+    assert set(data) == {"indoor_locs", "person_locs"}

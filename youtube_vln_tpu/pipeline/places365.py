@@ -197,6 +197,138 @@ def preprocess_images(images_uint8: np.ndarray, size: int = 224) -> np.ndarray:
 
 
 # --------------------------------------------------------------------------- #
+# AlexNet-Places365 (step 5b's indoor scorer)
+# --------------------------------------------------------------------------- #
+# The person-filter driver (filter_outdoor_maskrcnn_coco.py:49-66) loads
+# ``alexnet_places365.pth.tar`` into torchvision's AlexNet(num_classes=365)
+# and scores frames with ``classify_indoors`` (:129-138).  This is that
+# model as a pure JAX function (NHWC), with the torchvision parameter
+# layout (features.{0,3,6,8,10} convs, classifier.{1,4,6} linears).
+
+_ALEXNET_CONVS = (  # (kh, cin, cout, stride, pad, maxpool_after)
+    (11, 3, 64, 4, 2, True),
+    (5, 64, 192, 1, 2, True),
+    (3, 192, 384, 1, 1, False),
+    (3, 384, 256, 1, 1, False),
+    (3, 256, 256, 1, 1, True),
+)
+
+
+def init_alexnet_params(key, num_classes: int = 365) -> Dict:
+    keys = iter(jax.random.split(key, 16))
+    params: Dict = {"features": [], "classifier": []}
+    for kh, cin, cout, _, _, _ in _ALEXNET_CONVS:
+        params["features"].append({
+            "w": _init_conv(next(keys), kh, kh, cin, cout),
+            "b": jnp.zeros((cout,), jnp.float32)})
+    for d_in, d_out in ((256 * 6 * 6, 4096), (4096, 4096),
+                        (4096, num_classes)):
+        params["classifier"].append({
+            "w": 0.01 * jax.random.normal(next(keys), (d_in, d_out),
+                                          jnp.float32),
+            "b": jnp.zeros((d_out,), jnp.float32)})
+    return params
+
+
+def alexnet_params_from_torch_state_dict(state_dict: Dict) -> Dict:
+    """torchvision AlexNet layout -> our pytree.  The places365 checkpoint
+    wraps keys in ``module.`` (DataParallel) — tolerated like the
+    WideResNet import.  The first linear consumes the torch CHW-flattened
+    [256,6,6] pooled map; our forward flattens NHWC, so its rows are
+    permuted to match."""
+    sd = {}
+    for k, v in state_dict.items():
+        k = k.replace("module.", "")
+        sd[k] = np.asarray(getattr(v, "numpy", lambda: v)(), np.float32)
+
+    feats = []
+    for i in (0, 3, 6, 8, 10):
+        feats.append({"w": jnp.asarray(
+            sd[f"features.{i}.weight"].transpose(2, 3, 1, 0)),
+            "b": jnp.asarray(sd[f"features.{i}.bias"])})
+    cls = []
+    for j, i in enumerate((1, 4, 6)):
+        w = sd[f"classifier.{i}.weight"].T  # [in, out]
+        if j == 0:
+            # torch flattens [C=256, H=6, W=6]; we flatten [H, W, C]
+            w = w.reshape(256, 6, 6, -1).transpose(1, 2, 0, 3).reshape(
+                256 * 6 * 6, -1)
+        cls.append({"w": jnp.asarray(w),
+                    "b": jnp.asarray(sd[f"classifier.{i}.bias"])})
+    return {"features": feats, "classifier": cls}
+
+
+def _maxpool_3x3s2(x):
+    # nn.MaxPool2d(kernel_size=3, stride=2): floor mode, no padding
+    return jax.lax.reduce_window(
+        x, -jnp.inf, jax.lax.max, (1, 3, 3, 1), (1, 2, 2, 1),
+        [(0, 0), (0, 0), (0, 0), (0, 0)])
+
+
+def alexnet_forward(params, images) -> jnp.ndarray:
+    """images: [N, 224, 224, 3] float32 (normalized) -> logits [N, C].
+
+    Inference path of torchvision AlexNet: the adaptive avgpool is the
+    identity at 224 input (the feature map is already 6x6) and dropout is
+    eval-mode (off)."""
+    x = images
+    for p, (_, _, _, stride, pad, pool) in zip(params["features"],
+                                               _ALEXNET_CONVS):
+        x = jax.lax.conv_general_dilated(
+            x, p["w"].astype(x.dtype), (stride, stride),
+            [(pad, pad), (pad, pad)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        x = jax.nn.relu(x + p["b"].astype(x.dtype))
+        if pool:
+            x = _maxpool_3x3s2(x)
+    x = x.reshape(x.shape[0], -1)  # [N, 6*6*256] in HWC order
+    for j, p in enumerate(params["classifier"]):
+        x = x @ p["w"].astype(x.dtype) + p["b"].astype(x.dtype)
+        if j < 2:
+            x = jax.nn.relu(x)
+    return x
+
+
+def preprocess_images_crop(images_uint8: np.ndarray, resize: int = 256,
+                           crop: int = 224) -> np.ndarray:
+    """Resize(256) + CenterCrop(224) + ImageNet normalize — the person
+    filter's transform (filter_outdoor_maskrcnn_coco.py:70-75).  Resize
+    matches torchvision semantics (shorter side -> 256, aspect kept);
+    interpolation differs from PIL at the subpixel level, which is far
+    below the top-10 vote's sensitivity."""
+    x = jnp.asarray(images_uint8, jnp.float32) / 255.0
+    n, h, w = x.shape[:3]
+    if h < w:
+        nh, nw = resize, max(crop, int(round(w * resize / h)))
+    else:
+        nh, nw = max(crop, int(round(h * resize / w))), resize
+    x = jax.image.resize(x, (n, nh, nw, 3), method="bilinear")
+    top, left = (nh - crop) // 2, (nw - crop) // 2
+    x = x[:, top:top + crop, left:left + crop, :]
+    return np.asarray((x - IMAGENET_MEAN) / IMAGENET_STD, np.float32)
+
+
+def alexnet_indoor_probs(params, images_uint8: np.ndarray,
+                         is_indoor_class: np.ndarray,
+                         batch_size: int = 64, top_k: int = 10) -> np.ndarray:
+    """Reference classify_indoors (filter_outdoor_maskrcnn_coco.py:129-138):
+    per frame, the summed softmax probability of the indoor scene
+    categories among the top-k classes.  Drop-in indoor_probs input for
+    filters.filter_frames."""
+    from .filters import indoor_probability
+
+    fwd = jax.jit(alexnet_forward)
+    out: List[float] = []
+    for s in range(0, len(images_uint8), batch_size):
+        imgs = preprocess_images_crop(images_uint8[s:s + batch_size])
+        probs = np.asarray(jax.nn.softmax(fwd(params, jnp.asarray(imgs)),
+                                          axis=-1))
+        out += [indoor_probability(p, is_indoor_class, top_k=top_k)
+                for p in probs]
+    return np.asarray(out, np.float32)
+
+
+# --------------------------------------------------------------------------- #
 # scoring driver (run_model equivalent)
 # --------------------------------------------------------------------------- #
 def is_indoor(sorted_idx: np.ndarray, labels_io: np.ndarray
