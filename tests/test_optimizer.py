@@ -163,3 +163,35 @@ def test_orbax_round_trip(tmp_path):
     for a, b in zip(jax.tree_util.tree_leaves(params),
                     jax.tree_util.tree_leaves(restored["params"])):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_fused_apply_equals_delta_update(rng):
+    """adamw_ref.apply (one-pass, returns new params) is the same update as
+    the optax-style update+add route, leaf for leaf."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from youtube_vln_tpu.config import tiny_config
+    from youtube_vln_tpu.models import init_lily_params
+    from youtube_vln_tpu.training.optimization import (adamw_ref,
+                                                       warmup_linear_schedule)
+
+    cfg = tiny_config()
+    params = init_lily_params(jax.random.PRNGKey(0), cfg)
+    tx = adamw_ref(warmup_linear_schedule(1e-3, 10, 100), weight_decay=0.01)
+    grads = jax.tree_util.tree_map(
+        lambda p: jnp.asarray(rng.normal(size=p.shape), p.dtype), params)
+
+    state = tx.init(params)
+    for _ in range(3):
+        new_params, new_state = tx.apply(grads, state, params)
+        updates, state_u = tx.update(grads, state, params)
+        via_delta = jax.tree_util.tree_map(jnp.add, params, updates)
+        for a, b in zip(jax.tree_util.tree_leaves(new_params),
+                        jax.tree_util.tree_leaves(via_delta)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=1e-7)
+        for a, b in zip(jax.tree_util.tree_leaves(new_state),
+                        jax.tree_util.tree_leaves(state_u)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        params, state = new_params, new_state

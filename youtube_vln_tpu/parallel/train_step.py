@@ -183,8 +183,16 @@ def build_train_step(cfg: LilyConfig, args: RunConfig, tx):
         else:
             _, metrics, grads = one_microbatch(state.params, batch, rng)
 
-        updates, opt_state = tx.update(grads, state.opt_state, state.params)
-        params = jax.tree_util.tree_map(jnp.add, state.params, updates)
+        apply = getattr(tx, "apply", None)
+        if apply is not None:
+            # fused one-pass update (optimization.py:adamw_ref.apply) —
+            # the optax delta route costs ~2x the optimizer's HBM
+            # speed-of-light on 250M params
+            params, opt_state = apply(grads, state.opt_state, state.params)
+        else:
+            updates, opt_state = tx.update(grads, state.opt_state,
+                                           state.params)
+            params = jax.tree_util.tree_map(jnp.add, state.params, updates)
         return TrainState(params, opt_state, state.step + 1), metrics
 
     return step

@@ -147,9 +147,25 @@ def no_decay_mask(params):
         lambda path, _: _is_no_decay(path), params)
 
 
+class FusedGradientTransformation(NamedTuple):
+    """optax-compatible (init/update) plus ``apply``, a fused one-pass
+    variant returning new params directly.
+
+    The optax route costs four elementwise tree passes per step (mu, nu,
+    update-delta, then p+u in the train step) that XLA does not fuse
+    across the donated state buffers — measured ~17 ms for the 250M-param
+    flagship, ~2x the HBM speed of light.  ``apply`` computes
+    (new_mu, new_nu, new_p) in ONE tree_map so every leaf is a single
+    read-modify-write fusion, and it is also the literal reference update
+    order (torch mutates p in place; there is no delta in the reference)."""
+    init: Callable
+    update: Callable
+    apply: Callable
+
+
 def adamw_ref(schedule: Callable, b1: float = 0.9, b2: float = 0.999,
               eps: float = 1e-6, weight_decay: float = 0.0,
-              correct_bias: bool = True) -> optax.GradientTransformation:
+              correct_bias: bool = True) -> FusedGradientTransformation:
     """Update rule (per parameter, reference optimization.py:130-188):
 
         m <- b1*m + (1-b1)*g ; v <- b2*v + (1-b2)*g^2
@@ -157,7 +173,8 @@ def adamw_ref(schedule: Callable, b1: float = 0.9, b2: float = 0.999,
         p <- p - step * m/(sqrt(v)+eps)
         p <- p - lr*wd*p                            (post-update decay)
 
-    Returned as an update: u = -step*m/(sqrt(v)+eps) - lr*wd*(p + that).
+    ``update`` returns the optax-style delta u = new_p - p;
+    ``apply`` returns new_p itself (see FusedGradientTransformation).
     """
 
     def init(params):
@@ -166,34 +183,44 @@ def adamw_ref(schedule: Callable, b1: float = 0.9, b2: float = 0.999,
                              mu=jax.tree_util.tree_map(z, params),
                              nu=jax.tree_util.tree_map(z, params))
 
-    def update(grads, state, params):
-        assert params is not None, "adamw_ref needs params (decoupled decay)"
+    def _scalars(state):
         # schedule is indexed by completed steps (LambdaLR semantics)
         lr = schedule(state.count)
         count = state.count + 1
         t = count.astype(jnp.float32)
-        mu = jax.tree_util.tree_map(
-            lambda m, g: b1 * m + (1.0 - b1) * g, state.mu, grads)
-        nu = jax.tree_util.tree_map(
-            lambda v, g: b2 * v + (1.0 - b2) * g * g, state.nu, grads)
         if correct_bias:
             step_size = lr * jnp.sqrt(1.0 - b2 ** t) / (1.0 - b1 ** t)
         else:
             step_size = lr
+        return lr, count, step_size
 
+    def _leaf(m, v, g, p, nd, lr, step_size):
+        new_m = b1 * m + (1.0 - b1) * g
+        new_v = b2 * v + (1.0 - b2) * g * g
+        new_p = p - step_size * new_m / (jnp.sqrt(new_v) + eps)
+        if weight_decay > 0.0 and not nd:
+            new_p = new_p - lr * weight_decay * new_p
+        return new_m, new_v, new_p
+
+    def apply(grads, state, params):
+        lr, count, step_size = _scalars(state)
         decay_mask = no_decay_mask(params)
+        out = jax.tree_util.tree_map(
+            lambda m, v, g, p, nd: _leaf(m, v, g, p, nd, lr, step_size),
+            state.mu, state.nu, grads, params, decay_mask)
+        take = lambda i: jax.tree_util.tree_map(
+            lambda o: o[i], out, is_leaf=lambda x: isinstance(x, tuple))
+        new_params = take(2)
+        return new_params, AdamWRefState(count=count, mu=take(0),
+                                         nu=take(1))
 
-        def upd(m, v, p, nd):
-            new_p = p - step_size * m / (jnp.sqrt(v) + eps)
-            if weight_decay > 0.0:
-                wd = 0.0 if nd else weight_decay
-                new_p = new_p - lr * wd * new_p
-            return new_p - p
+    def update(grads, state, params):
+        assert params is not None, "adamw_ref needs params (decoupled decay)"
+        new_params, new_state = apply(grads, state, params)
+        updates = jax.tree_util.tree_map(jnp.subtract, new_params, params)
+        return updates, new_state
 
-        updates = jax.tree_util.tree_map(upd, mu, nu, params, decay_mask)
-        return updates, AdamWRefState(count=count, mu=mu, nu=nu)
-
-    return optax.GradientTransformation(init, update)
+    return FusedGradientTransformation(init, update, apply)
 
 
 def make_optimizer(args, steps_per_epoch: int):
