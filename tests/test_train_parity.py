@@ -156,3 +156,64 @@ def test_five_step_loss_trajectory_matches(rng):
                                err_msg=f"ours={our_losses} ref={ref_losses}")
     # the trajectory must actually descend (guards against trivial parity)
     assert our_losses[-1] < our_losses[0]
+
+
+def test_overfit_one_batch(rng):
+    """Memorization sanity: the full jitted train step (all four tasks,
+    dropout on, fused kernels' XLA fallback on CPU) must drive the loss
+    down by >4x and reach perfect ranking accuracy on one fixed batch —
+    guards the gradient path end to end, independent of the reference."""
+    import jax
+
+    cfg = tiny_config(ranking=True, traj_judge=True, masked_vision=True,
+                      masked_language=True)
+    bs, nc, s_t, s_v = 2, 7, 12, 20
+    n = bs * nc
+    tokens = rng.integers(1, 256, size=(n, s_t)).astype(np.int64)
+    tokens[:, 0] = 101
+    t_mask = np.ones((n, s_t), np.int64)
+    feats = rng.normal(size=(n, s_v, 64)).astype(np.float32)
+    locs = rng.random((n, s_v, 12)).astype(np.float32)
+    locs[..., 11] = rng.integers(0, 4, size=(n, s_v))
+    v_mask = np.ones((n, s_v), np.int64)
+    probs = rng.random((n, s_v, 23)).astype(np.float32)
+    probs /= probs.sum(-1, keepdims=True)
+    mask_rng = np.random.default_rng(11)
+    tokens_m, instr_targets = randomize_tokens_np(tokens, t_mask, 256, 103,
+                                                  mask_rng)
+    feats_m, image_targets, image_targets_mask = randomize_regions_np(
+        feats, probs, v_mask, mask_rng)
+
+    shape2 = lambda x: np.asarray(x).reshape(
+        (bs, nc) + np.asarray(x).shape[1:])
+    batch = dict(
+        instr_tokens=shape2(tokens_m).astype(np.int32),
+        instr_mask=shape2(t_mask).astype(np.int32),
+        segment_ids=np.zeros((bs, nc, s_t), np.int32),
+        instr_targets=shape2(instr_targets).astype(np.int32),
+        image_features=shape2(feats_m),
+        image_locations=shape2(locs),
+        image_mask=shape2(v_mask).astype(np.int32),
+        image_targets=shape2(image_targets),
+        image_targets_mask=shape2(image_targets_mask).astype(np.int32),
+        opt_mask=np.ones((bs, nc), bool),
+        ranking_target=np.zeros((bs,), np.int32),
+    )
+
+    run_args = RunConfig(ranking=True, traj_judge=True, masked_vision=True,
+                         masked_language=True, pretrain=True,
+                         learning_rate=3e-3, num_epochs=1,
+                         warmup_proportion=0.05, cooldown_factor=50.0,
+                         weight_decay=1e-2, num_negatives=2)
+    params = init_lily_params(jax.random.PRNGKey(3), cfg)
+    state, tx, _ = ts.create_train_state(params, run_args,
+                                         steps_per_epoch=100)
+    step = jax.jit(ts.build_train_step(cfg, run_args, tx))
+
+    losses, rank_acc = [], 0.0
+    for i in range(100):
+        state, metrics = step(state, batch, jax.random.PRNGKey(i))
+        losses.append(float(metrics["loss/train"]))
+        rank_acc = float(metrics["correct/ranking"]) / bs
+    assert losses[-1] < 0.25 * losses[0], (losses[0], losses[-1])
+    assert rank_acc == 1.0, rank_acc
