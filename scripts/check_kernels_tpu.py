@@ -4,9 +4,9 @@ The CPU interpreter cannot lower the on-core PRNG, so the properties that
 only matter with dropout active are checked here on the real TPU, for the
 epilogue AND both attention kernels:
 
-  1. determinism: same seed -> identical output;
-  2. drop fraction ~ rate (epilogue; the mask actually fires at the rate);
-  3. mask replay: each custom-VJP backward regenerates its forward's exact
+  1. drop fraction ~ rate (epilogue; the mask actually fires at the rate);
+  2. mask replay + determinism: each custom-VJP backward regenerates its
+     forward's exact
      mask.  Checked by directional finite differences through a probe the
      output is LINEAR in (the attention kernels' V operand; the epilogue's
      h at small eps) — linearity makes the FD exact up to f32 rounding, so
@@ -35,19 +35,21 @@ def main():
         f"needs the real chip, got {jax.default_backend()}")
 
     rng = np.random.default_rng(0)
-    shape, rate = (2, 128, 256), 0.1
+    # 202 rows: NOT a block multiple, so this also compiles the Mosaic
+    # row-padding path that SPMD shards rely on
+    shape, rate = (2, 101, 256), 0.1
     h = jnp.asarray(rng.normal(size=shape), jnp.float32)
     res = jnp.asarray(rng.normal(size=shape), jnp.float32)
     p = {"w": jnp.asarray(rng.normal(size=(shape[-1],)), jnp.float32),
          "b": jnp.asarray(rng.normal(size=(shape[-1],)), jnp.float32)}
     key = jax.random.PRNGKey(7)
 
-    fused = jax.jit(lambda hh: pallas_dropout_add_ln(
-        hh, res, p, rate=rate, rng=key, train=True))
-
-    # 1. determinism
-    o1, o2 = np.asarray(fused(h)), np.asarray(fused(h + 0.0))
-    assert np.array_equal(o1, o2), "same seed must give identical output"
+    # (no standalone determinism assert: the axon runtime memoizes
+    # identical-VALUE dispatches, so f(h) == f(h+0.0) would pass even for
+    # a nondeterministic kernel.  Determinism across dispatches is instead
+    # implied by the finite-difference checks below: f(h+eps*u), f(h-eps*u)
+    # and grad(f)(h) are three DISTINCT-value dispatches, and they only
+    # agree to <1% if all three drew the same seeded mask.)
 
     # 2. drop fraction.  Feed a constant positive input with res=0, w=1,
     # b=0: pre-LN rows are two-valued (kept -> const/keep, dropped -> 0),
@@ -98,7 +100,6 @@ def main():
         return jnp.vdot(pallas_attention_core(
             q, k, vv, mask, dropout_rate=rate, rng=key, train=True), tprobe)
 
-    assert float(f_attn(v)) == float(f_attn(v + 0.0)), "attn not deterministic"
     g = jax.jit(jax.grad(f_attn))(v)
     analytic = float(jnp.vdot(g, uv))
     fd_attn = float(f_attn(v + 0.5 * uv) - f_attn(v - 0.5 * uv))

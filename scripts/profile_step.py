@@ -106,12 +106,15 @@ def main():
     results = {}
     for name in variants:
         import dataclasses
-        if name in ("full", "full_xla", "full_noepi"):
+        if name in ("full", "full_xla", "full_epi"):
             c = cfg
             if name == "full_xla":
                 c = dataclasses.replace(cfg, use_pallas_attention=False)
-            elif name == "full_noepi":
-                c = dataclasses.replace(cfg, use_pallas_epilogue=False)
+            elif name == "full_epi":
+                # the opt-in fused dropout+add+LN kernel (default OFF —
+                # measured slower than XLA's fused uint8 path; this
+                # variant exists to re-measure that)
+                c = dataclasses.replace(cfg, use_pallas_epilogue=True)
             # donated chain: own param copy so later variants keep
             # dparams alive
             pcopy = jax.tree_util.tree_map(lambda x: x.copy(), dparams)

@@ -649,9 +649,14 @@ def test_tokenize_highlight_perturbation_parity(tmp_path):
     from conftest import REFERENCE_ROOT, import_reference_vilbert
     import fake_lmdb
 
-    # pull the REAL requests package into sys.modules before the reference
-    # import helper stubs it (transformers -> huggingface_hub needs
-    # requests.exceptions, which the bare stub lacks)
+    # transformers -> huggingface_hub needs requests.exceptions, which the
+    # bare stub installed by import_reference_vilbert lacks.  A prior
+    # reference-importing test may have ALREADY installed the stub, so
+    # evict it and load the real package (order-independent).
+    stub = sys.modules.get("requests")
+    if stub is not None and getattr(getattr(stub, "__spec__", None),
+                                    "loader", None) is None:
+        del sys.modules["requests"]
     import requests  # noqa: F401
 
     import_reference_vilbert()

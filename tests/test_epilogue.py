@@ -58,19 +58,42 @@ def test_fused_gradients(rng):
                                    atol=2e-6 * scale, err_msg=name)
 
 
-def test_row_block_tiles_flagship_geometry():
-    # 56 rows x 808 regions (batch 8 x 7 candidates) must tile exactly
-    assert 45248 % _row_block(45248) == 0
-    assert _row_block(45248) >= 64
+def test_row_block_is_sublane_aligned():
+    for n in (45248, 5656, 2828, 101, 7, 512):
+        rb = _row_block(n)
+        assert rb % 8 == 0 and rb >= 8
 
 
 def test_shape_fallback_returns_none(rng):
     # feature dim not a multiple of 128 -> caller must fall back
     h, res, p = _inputs(rng, shape=(4, 8, 96))
     assert pallas_dropout_add_ln(h, res, p) is None
-    # row count with no multiple-of-8 tiling -> fall back too
+
+
+def test_odd_row_counts_pad_correctly(rng):
+    """Row counts that don't divide the block (e.g. per-shard slices under
+    SPMD) are padded inside the kernel: outputs and ALL gradients must
+    still match the unfused path (padded do-rows are zero, so dw/db are
+    unaffected)."""
     h, res, p = _inputs(rng, shape=(1, 101, 256))
-    assert pallas_dropout_add_ln(h, res, p) is None
+
+    out = pallas_dropout_add_ln(h, res, p)
+    np.testing.assert_allclose(np.asarray(out),
+                               np.asarray(layer_norm(h + res, p)), atol=1e-5)
+
+    def loss_pal(h, res, w, b):
+        return jnp.sum(jnp.sin(pallas_dropout_add_ln(h, res,
+                                                     {"w": w, "b": b})))
+
+    def loss_ref(h, res, w, b):
+        return jnp.sum(jnp.sin(layer_norm(h + res, {"w": w, "b": b})))
+
+    gp = jax.grad(loss_pal, argnums=(0, 1, 2, 3))(h, res, p["w"], p["b"])
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2, 3))(h, res, p["w"], p["b"])
+    for name, a, b in zip(("dh", "dres", "dw", "db"), gp, gr):
+        scale = max(float(jnp.max(jnp.abs(b))), 1.0)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=2e-6 * scale, err_msg=name)
 
 
 def test_select_epilogue_fn_gating():
@@ -130,3 +153,21 @@ def test_model_path_with_fused_epilogue(rng):
                      epilogue_fn=epilogue_fn)
     for a, b in zip(ref, out):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
+
+
+def test_dropout_rate_edge_cases(rng):
+    """uint8-quantized dropout: unbiased in expectation at the usual rates
+    and exactly zero at rate=1.0 (the reference's p=1 behavior)."""
+    from youtube_vln_tpu.models.layers import dropout
+
+    x = jnp.asarray(rng.normal(size=(64, 256)), jnp.float32)
+    key = jax.random.PRNGKey(0)
+    assert bool(jnp.all(dropout(x, 1.0, key, True) == 0.0))
+    assert bool(jnp.all(dropout(x, 0.0, key, True) == x))
+    assert bool(jnp.all(dropout(x, 0.5, key, False) == x))  # eval: identity
+    y = dropout(x, 0.1, key, True)
+    kept = np.asarray(y != 0)
+    assert abs(kept.mean() - 230 / 256) < 0.02  # effective keep = 230/256
+    # unbiased: kept values are scaled by exactly 256/230
+    np.testing.assert_allclose(np.asarray(y)[kept],
+                               np.asarray(x * (256.0 / 230))[kept], rtol=1e-6)

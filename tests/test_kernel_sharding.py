@@ -115,3 +115,32 @@ def test_epilogue_shards_and_psums_param_grads(mesh, rng):
         scale = max(float(jnp.max(jnp.abs(c))), 1.0)
         np.testing.assert_allclose(np.asarray(a), np.asarray(c),
                                    atol=3e-6 * scale, err_msg=name)
+
+
+def test_epilogue_odd_local_rows(mesh, rng):
+    """Per-shard row counts that don't divide the row block (808 global /
+    8 shards = 101 local) must pad inside the per-shard lowering instead
+    of crashing — the original divisor search had no local fallback."""
+    n, d = 808, 256
+    h = jnp.asarray(rng.normal(size=(n, d)), jnp.float32)
+    res = jnp.asarray(rng.normal(size=(n, d)), jnp.float32)
+    w = jnp.asarray(rng.normal(size=(d,)), jnp.float32)
+    b = jnp.asarray(rng.normal(size=(d,)), jnp.float32)
+    hs, rs = _put(mesh, h, res)
+
+    def loss(h_, r_, w_, b_):
+        return jnp.sum(jnp.sin(pallas_dropout_add_ln(h_, r_,
+                                                     {"w": w_, "b": b_})))
+
+    out = jax.jit(lambda a, c: pallas_dropout_add_ln(
+        a, c, {"w": w, "b": b}))(hs, rs)
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(layer_norm(h + res, {"w": w, "b": b})),
+        atol=1e-5)
+    g = jax.jit(jax.grad(loss, argnums=(0, 1, 2, 3)))(hs, rs, w, b)
+    gr = jax.grad(lambda a, c, w_, b_: jnp.sum(jnp.sin(layer_norm(
+        a + c, {"w": w_, "b": b_}))), argnums=(0, 1, 2, 3))(h, res, w, b)
+    for name, a, c in zip(("dh", "dres", "dw", "db"), g, gr):
+        scale = max(float(jnp.max(jnp.abs(c))), 1.0)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(c),
+                                   atol=3e-6 * scale, err_msg=name)

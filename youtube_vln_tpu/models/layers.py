@@ -84,7 +84,11 @@ def dropout(x, rate: float, rng: Optional[jax.Array], train: bool):
     # probability quantizes to thresh/256 (e.g. 0.8984 for rate=0.1); we
     # scale by the EFFECTIVE keep so E[dropout(x)] == x exactly, and the
     # ~1.6e-3 shift in realized drop rate is far below run-to-run noise.
-    thresh = min(max(round(keep * 256), 1), 255)
+    thresh = min(round(keep * 256), 255)
+    if thresh == 0:
+        # rate high enough that the quantized keep probability is zero
+        # (rate=1.0 in particular must zero everything, like the reference)
+        return jnp.zeros_like(x)
     bits = jax.random.bits(rng, x.shape, dtype=jnp.uint8)
     mask = bits < jnp.uint8(thresh)
     return jnp.where(mask, x * (256.0 / thresh), 0.0).astype(x.dtype)

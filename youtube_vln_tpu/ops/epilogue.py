@@ -28,7 +28,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .attention import _dropout_mask, _interpret, _seed_arr
+from .attention import _dropout_mask, _interpret, _row_ids, _seed_arr
 from .partition import sharded_batch_call
 
 LN_EPS = 1e-12
@@ -94,16 +94,22 @@ def _epi_bwd_kernel(seed_ref, rowid_ref, h_ref, res_ref, w_ref, do_ref,
     db_ref[...] += jnp.sum(do, axis=0, keepdims=True)
 
 
-def _row_block(n_rows: int) -> Optional[int]:
-    """Largest row-block size that tiles n_rows exactly.
+def _row_block(n_rows: int) -> int:
+    """Row-block size: a multiple of 8 (Mosaic sublane tiling; also keeps
+    the (8, 1) row-id block aligned to program starts).  Callers pad the
+    row dim up to a block multiple, so ANY n works — including per-shard
+    row counts under SPMD partitioning, which need not divide evenly (the
+    original divisor search crashed there)."""
+    if n_rows >= 512:
+        return 512
+    return max(8, -(-n_rows // 8) * 8)
 
-    Only multiples of 8 (Mosaic sublane tiling; also keeps the (8, 1)
-    row-id block aligned to program starts); None -> caller falls back to
-    the unfused XLA path."""
-    for rb in (512, 448, 256, 128, 64, 32, 16, 8):
-        if n_rows % rb == 0:
-            return rb
-    return None
+
+def _pad_rows(x, n_pad: int):
+    n = x.shape[0]
+    if n == n_pad:
+        return x
+    return jnp.pad(x, ((0, n_pad - n),) + ((0, 0),) * (x.ndim - 1))
 
 
 def _specs(rb: int, d: int):
@@ -119,13 +125,12 @@ def _specs(rb: int, d: int):
     return xspec, pspec, rowspec
 
 
-def _row_ids(n: int):
-    return jnp.arange(n, dtype=jnp.int32).reshape(n, 1)
-
-
-# NOTE: the forward and backward both derive the row-block size from the
-# (local) shape, so the backward replays the forward's exact grid — and
-# therefore its exact per-block dropout streams — on any shard layout.
+# NOTE: the forward and backward both derive the row-block size and
+# padding from the (local) shape, so the backward replays the forward's
+# exact grid — and therefore its exact per-block dropout streams — on any
+# shard layout.  Padded rows are all-zero: LN of a zero row is b (finite,
+# variance 0 is guarded by eps) and they are sliced off / carry zero
+# cotangents, so they contribute nothing to any output or gradient.
 @functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
 def _fused_epilogue(h, res, w, b, seed, rate):
     out, _ = _fused_epilogue_fwd(h, res, w, b, seed, rate)
@@ -138,17 +143,19 @@ def _fused_epilogue_fwd(h, res, w, b, seed, rate):
     def call(seed_arr, rowid, h, res, w, b):
         n, d = h.shape
         rb = _row_block(n)
+        n_pad = -(-n // rb) * rb
+        h, res, rowid = (_pad_rows(x, n_pad) for x in (h, res, rowid))
         xspec, pspec, rowspec = _specs(rb, d)
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
-            grid=(n // rb,),
+            grid=(n_pad // rb,),
             in_specs=[rowspec, xspec, xspec, pspec, pspec],
             out_specs=xspec,
         )
-        return pl.pallas_call(
+        out = pl.pallas_call(
             functools.partial(_epi_fwd_kernel, rate=rate),
             grid_spec=grid_spec,
-            out_shape=jax.ShapeDtypeStruct(h.shape, h.dtype),
+            out_shape=jax.ShapeDtypeStruct((n_pad, d), h.dtype),
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=100 * 1024 * 1024),
             cost_estimate=pl.CostEstimate(
@@ -157,6 +164,7 @@ def _fused_epilogue_fwd(h, res, w, b, seed, rate):
                 transcendentals=n),
             interpret=_interpret(),
         )(seed_arr, rowid, h, res, w, b)
+        return out[:n]
 
     out = sharded_batch_call(
         call, (_seed_arr(seed), _row_ids(h.shape[0]), h, res,
@@ -172,18 +180,22 @@ def _fused_epilogue_bwd(rate, residuals, do):
     def call(seed_arr, rowid, h, res, w, do):
         n, d = h.shape
         rb = _row_block(n)
+        n_pad = -(-n // rb) * rb
+        # do pads with ZEROS, so padded rows add nothing to dw/db
+        h, res, rowid, do = (_pad_rows(x, n_pad)
+                             for x in (h, res, rowid, do))
         xspec, pspec, rowspec = _specs(rb, d)
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
-            grid=(n // rb,),
+            grid=(n_pad // rb,),
             in_specs=[rowspec, xspec, xspec, pspec, xspec],
             out_specs=(xspec, xspec, pspec, pspec),
         )
-        return pl.pallas_call(
+        dh, dres, dw, db = pl.pallas_call(
             functools.partial(_epi_bwd_kernel, rate=rate),
             grid_spec=grid_spec,
-            out_shape=(jax.ShapeDtypeStruct(h.shape, h.dtype),
-                       jax.ShapeDtypeStruct(res.shape, res.dtype),
+            out_shape=(jax.ShapeDtypeStruct((n_pad, d), h.dtype),
+                       jax.ShapeDtypeStruct((n_pad, d), res.dtype),
                        jax.ShapeDtypeStruct((1, d), jnp.float32),
                        jax.ShapeDtypeStruct((1, d), jnp.float32)),
             compiler_params=pltpu.CompilerParams(
@@ -194,6 +206,7 @@ def _fused_epilogue_bwd(rate, residuals, do):
                 transcendentals=n),
             interpret=_interpret(),
         )(seed_arr, rowid, h, res, w, do)
+        return dh[:n], dres[:n], dw, db
 
     # dw/db are reductions over the row dim: psummed across shards
     dh, dres, dw, db = sharded_batch_call(
@@ -220,7 +233,7 @@ def pallas_dropout_add_ln(h, res, ln_params, *, rate: float = 0.0,
     shape = h.shape
     d = shape[-1]
     n = math.prod(shape[:-1])
-    if d % 128 != 0 or _row_block(n) is None:
+    if d % 128 != 0:
         return None
 
     if train and rate > 0.0 and rng is not None:
@@ -240,7 +253,7 @@ def select_epilogue_fn(cfg, platform: Optional[str] = None):
     keep the unfused XLA path.  Mirrors ops.attention.select_attention_fn."""
     if not getattr(cfg, "use_pallas_attention", False):
         return None
-    if not getattr(cfg, "use_pallas_epilogue", True):
+    if not getattr(cfg, "use_pallas_epilogue", False):
         return None
     if platform is None:
         platform = jax.default_backend()
