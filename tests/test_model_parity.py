@@ -186,3 +186,39 @@ def test_encoder_modes_parity(ref, rng, mode):
                                rtol=1e-4)
     np.testing.assert_allclose(np.asarray(jv), rv.numpy(), atol=1e-4,
                                rtol=1e-4)
+
+
+def test_remat_matches_no_remat(rng):
+    """cfg.remat=True (jax.checkpoint around every encoder block) must not
+    change outputs or gradients — only the memory/recompute schedule.  Also
+    covers rng threading through the _maybe_remat wrappers with dropout on
+    (same key -> same masks either way)."""
+    import dataclasses
+    import jax
+    import jax.numpy as jnp
+
+    cfg = tiny_config(ranking=True, traj_judge=True, masked_vision=True,
+                      masked_language=True)
+    cfg_r = dataclasses.replace(cfg, remat=True)
+    params = init_lily_params(jax.random.PRNGKey(0), cfg)
+    n, s_t, s_v = 3, 10, 16
+    tokens = jnp.asarray(rng.integers(1, cfg.vocab_size, (n, s_t)))
+    feats = jnp.asarray(rng.normal(size=(n, s_v, cfg.v_feature_size)),
+                        jnp.float32)
+    locs = jnp.asarray(rng.random((n, s_v, 12)), jnp.float32)
+
+    def loss(p, c):
+        out = lily_forward(p, c, tokens, feats, locs,
+                           rng=jax.random.PRNGKey(5), train=True)
+        return sum(jnp.sum(jnp.sin(v)) for v in out.values())
+
+    l0, g0 = jax.value_and_grad(lambda p: loss(p, cfg))(params)
+    l1, g1 = jax.value_and_grad(lambda p: loss(p, cfg_r))(params)
+    np.testing.assert_allclose(float(l0), float(l1), rtol=1e-6)
+    # the recompute reorders f32 reductions, so near-zero leaves carry
+    # ~5e-5 absolute noise; anything larger would indicate divergent
+    # dropout masks or a broken checkpoint wrapper
+    for a, b in zip(jax.tree_util.tree_leaves(g0),
+                    jax.tree_util.tree_leaves(g1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4,
+                                   rtol=1e-3)
