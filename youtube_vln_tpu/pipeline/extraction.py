@@ -235,13 +235,26 @@ def run_extraction(frames_dir, out_dir,
                    *, num_splits: int = 11, num_workers: int = 0,
                    start: int = 0) -> int:
     """Main driver (reference __main__, :530-567): validate existing
-    shards, compute the pending photo list, then extract — in-process when
-    num_workers <= 1 (shards start..num_splits-1 sequentially), else a
-    worker pool over shards start..start+num_workers-1.
+    shards, compute the pending photo list, then extract.
+
+    Invocation semantics follow the reference's multi-GPU orchestration:
+    a pool run covers ONE shard group, shards start..start+num_workers-1
+    (the reference launches one such invocation per GPU group with a
+    different --start; 11 shards / 3 workers = 4 invocations).  The
+    sequential path (num_workers <= 1) is a deliberate superset of the
+    reference — it builds shards start..num_splits-1 in one go instead of
+    only shard `start`, so a single-process run covers everything.
 
     Returns total rows written.  Re-running after an interruption resumes:
     finished photos are skipped via the TSV-derived cache.
     """
+    if num_workers > 1 and start + num_workers > num_splits:
+        # the reference silently slices photos[k::num_splits] with
+        # k >= num_splits here, producing rows that duplicate other
+        # shards' slices — fail loudly instead
+        raise ValueError(
+            f"shard group start={start}..{start + num_workers - 1} exceeds "
+            f"num_splits={num_splits}; lower --num_workers or --start")
     out_dir = Path(out_dir)
     if out_dir.exists():
         tsv_files = sorted(out_dir.glob(SHARD_TEMPLATE.format("*")))

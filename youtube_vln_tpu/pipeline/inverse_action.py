@@ -143,13 +143,18 @@ def train_inverse_model_from_images(images_uint8: np.ndarray,
     return train_inverse_model(batches, **train_kw)
 
 
+_inverse_forward_jit = jax.jit(lambda p, a, b: inverse_forward(p, a, b))
+
+
 def predict_actions(params, feats: Sequence[np.ndarray]) -> List[str]:
     """Actions between consecutive frames: len(feats)-1 predictions."""
     if len(feats) < 2:
         return []
     fk = jnp.stack(feats[:-1])
     fk1 = jnp.stack(feats[1:])
-    logits = jax.jit(inverse_forward)(params, fk, fk1)
+    # shared jitted instance: predict_actions runs once per VIDEO in the
+    # profile driver, and a fresh jax.jit would re-trace every time
+    logits = _inverse_forward_jit(params, fk, fk1)
     return [ACTION_MAP[int(i)] for i in np.asarray(jnp.argmax(logits, -1))]
 
 

@@ -331,6 +331,12 @@ def alexnet_indoor_probs(params, images_uint8: np.ndarray,
 # --------------------------------------------------------------------------- #
 # scoring driver (run_model equivalent)
 # --------------------------------------------------------------------------- #
+# one jitted instance shared by every score_batch call — a per-call
+# jax.jit(places_forward) would re-trace the whole network per 64-frame
+# chunk in the per-video driver loops
+_places_forward_jit = jax.jit(places_forward)
+
+
 def is_indoor(sorted_idx: np.ndarray, labels_io: np.ndarray
               ) -> Tuple[float, bool]:
     """Vote over the top-10 scene categories
@@ -347,7 +353,7 @@ def score_batch(params, images, *, labels_io: np.ndarray,
     """Reference ``run_model`` (filter_outdoor_resnet_place365.py:216-268):
     per image, scene-category top-k, attribute responses from the pooled
     feature, and the indoor vote."""
-    logits, _, pooled = jax.jit(places_forward)(params, jnp.asarray(images))
+    logits, _, pooled = _places_forward_jit(params, jnp.asarray(images))
     probs = np.asarray(jax.nn.softmax(logits, axis=-1))
     pooled = np.asarray(pooled)
 
