@@ -144,3 +144,27 @@ def test_epilogue_odd_local_rows(mesh, rng):
         scale = max(float(jnp.max(jnp.abs(c))), 1.0)
         np.testing.assert_allclose(np.asarray(a), np.asarray(c),
                                    atol=3e-6 * scale, err_msg=name)
+
+
+def test_attention_dim0_sharded_over_two_axes(rng):
+    """Under DP x TP the flattened (batch*heads) dim can be sharded over
+    BOTH mesh axes; the partition rules must keep the tuple spec with zero
+    gathers (covers _axis_names/_dim0_spec tuple handling)."""
+    devs = np.array(jax.devices())
+    if devs.size < 8:
+        pytest.skip("needs the 8-device CPU mesh")
+    mesh2 = Mesh(devs[:8].reshape(4, 2), ("data", "model"))
+    b, h, s, d = 16, 2, 128, 64
+    q, k, v = (jnp.asarray(rng.normal(size=(b, h, s, d)), jnp.float32)
+               for _ in range(3))
+    mask = jnp.zeros((b, 1, 1, s), jnp.float32)
+    sh = NamedSharding(mesh2, P(("data", "model")))
+    qs, ks, vs, ms = [jax.device_put(x, sh) for x in (q, k, v, mask)]
+
+    f = jax.jit(pallas_attention_core)
+    out = f(qs, ks, vs, ms)
+    assert out.sharding.spec == P(("data", "model"))
+    np.testing.assert_allclose(np.asarray(out),
+                               np.asarray(attention_core(q, k, v, mask)),
+                               atol=1e-5)
+    assert "all-gather" not in f.lower(qs, ks, vs, ms).compile().as_text()
