@@ -1,12 +1,15 @@
 """Two-process jax.distributed CPU test.
 
 Exercises the real multi-host paths that single-process suites cannot:
-``parallel/distributed.py:initialize`` (coordinator rendezvous) and the
+``parallel/distributed.py:initialize`` (coordinator rendezvous), the
 engine's per-process loader sharding composition
 (``Loader(num_shards=jax.process_count(), shard=jax.process_index())``,
-training/engine.py).  Two subprocesses, 2 fake CPU devices each -> a
-4-device global mesh; asserts disjoint-covering shards and identical
-in-graph global reductions on every process.
+training/engine.py), and ONE full train step over the cross-process
+global mesh (replicated state, data-sharded global batch, in-graph grad
+all-reduce spanning both controllers).  Two subprocesses, 2 fake CPU
+devices each -> a 4-device global mesh; asserts disjoint-covering shards,
+identical in-graph global reductions, and identical loss + updated
+parameters on every process.
 """
 import json
 import os
@@ -84,7 +87,71 @@ WORKER = textwrap.dedent("""
                           num_shards=jax.process_count(),
                           shard=jax.process_index())
 
+    # ---- one REAL train step over the cross-process global mesh -------
+    # (multi-controller composition the single-process suites can't reach:
+    # replicated state + data-sharded global batch + in-graph grad
+    # all-reduce spanning both processes)
+    from youtube_vln_tpu.config import tiny_config, RunConfig
+    from youtube_vln_tpu.models import init_lily_params
+    from youtube_vln_tpu.parallel import train_step as ts
+
+    cfg = tiny_config(ranking=True, traj_judge=True, masked_vision=True,
+                      masked_language=True)
+    run_args = RunConfig(ranking=True, traj_judge=True, masked_vision=True,
+                         masked_language=True, pretrain=True,
+                         learning_rate=1e-4, num_epochs=1)
+    gb, lb, nc, s_t, s_v = 4, 2, 7, 8, 10   # global/local batch
+    rng0 = np.random.default_rng(0)          # same stream on BOTH procs
+    gbatch = {
+        "instr_tokens": rng0.integers(1, cfg.vocab_size,
+                                      (gb, nc, s_t)).astype(np.int32),
+        "instr_mask": np.ones((gb, nc, s_t), np.int32),
+        "segment_ids": np.zeros((gb, nc, s_t), np.int32),
+        "instr_targets": np.where(
+            rng0.random((gb, nc, s_t)) < 0.3,
+            rng0.integers(0, cfg.vocab_size, (gb, nc, s_t)), -1
+        ).astype(np.int32),
+        "image_features": rng0.normal(
+            size=(gb, nc, s_v, cfg.v_feature_size)).astype(np.float32),
+        "image_locations": rng0.random((gb, nc, s_v, 12)).astype(np.float32),
+        "image_mask": np.ones((gb, nc, s_v), np.int32),
+        "image_targets": np.full((gb, nc, s_v, cfg.v_target_size),
+                                 1.0 / cfg.v_target_size, np.float32),
+        "image_targets_mask": (rng0.random((gb, nc, s_v)) < 0.15
+                               ).astype(np.int32),
+        "opt_mask": np.ones((gb, nc), bool),
+        "ranking_target": np.zeros((gb,), np.int32),
+    }
+    lo = int(pid) * lb
+    local_batch = {k: v[lo:lo + lb] for k, v in gbatch.items()}
+    batch = {
+        k: multihost_utils.host_local_array_to_global_array(
+            v, mesh, P("data", *([None] * (v.ndim - 1))))
+        for k, v in local_batch.items()}
+
+    params = init_lily_params(jax.random.PRNGKey(0), cfg)
+    state, tx, _ = ts.create_train_state(params, run_args,
+                                         steps_per_epoch=10)
+    repl = NamedSharding(mesh, P())
+    state = jax.tree_util.tree_map(
+        lambda x: multihost_utils.host_local_array_to_global_array(
+            np.asarray(x), mesh, P()), state)
+    bshard = ts.make_batch_shardings(mesh, gbatch)
+    step = ts.jit_train_step(ts.build_train_step(cfg, run_args, tx), mesh,
+                             jax.tree_util.tree_map(lambda _: repl, state),
+                             bshard)
+    state, metrics = step(state, batch, jax.random.PRNGKey(1))
+    train_loss = float(metrics["loss/train"])   # replicated: same globally
+    # fingerprint of the UPDATED (replicated) params, readable everywhere
+    psum = jax.jit(
+        lambda p: sum(jnp.sum(jnp.abs(x.astype(jnp.float32)))
+                      for x in jax.tree_util.tree_leaves(p)),
+        out_shardings=repl)(state.params)
+    params_fingerprint = float(psum)
+
     out = {
+        "train_loss": train_loss,
+        "params_fingerprint": params_fingerprint,
         "pid": int(pid),
         "process_count": jax.process_count(),
         "shard": sorted(int(i) for i in shard),
@@ -148,3 +215,10 @@ def test_two_process_rendezvous_and_sharding(tmp_path):
     # both processes computed the same global (cross-host) reduction
     expect = float(np.arange(8).sum() * 2 + 100.0 * 8)
     assert results[0]["total"] == results[1]["total"] == expect
+
+    # the cross-process train step produced one GLOBAL loss and identical
+    # updated parameters on every controller
+    assert results[0]["train_loss"] == results[1]["train_loss"]
+    assert np.isfinite(results[0]["train_loss"])
+    assert (results[0]["params_fingerprint"]
+            == results[1]["params_fingerprint"])
