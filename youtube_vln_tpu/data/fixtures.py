@@ -12,7 +12,7 @@ from __future__ import annotations
 import json
 import random
 from pathlib import Path
-from typing import Dict, List, Sequence
+from typing import Dict, List, Optional, Sequence
 
 import numpy as np
 
@@ -84,10 +84,13 @@ def write_store(path, keys: Sequence[str], *, k_boxes: int = 4,
 # YouTube pretraining fixture
 # --------------------------------------------------------------------------- #
 def build_ytb_fixture(root, *, n_videos: int = 6, frames_per_video: int = 12,
-                      seed: int = 0) -> Dict[str, str]:
+                      seed: int = 0, k_boxes: int = 4,
+                      args_overrides: Optional[Dict] = None) -> Dict[str, str]:
     """Creates captions JSON + templates + feature store + frozen testset.
     Returns the path map (caption_path, skeleton_path, store paths,
-    testset paths, vocab)."""
+    testset paths, vocab).  ``k_boxes``/``args_overrides`` let perf
+    harnesses build the FLAGSHIP geometry (101 boxes, path 8) instead of
+    the tiny test default (scripts/bench_loader.py)."""
     root = Path(root)
     root.mkdir(parents=True, exist_ok=True)
     rng = random.Random(seed)
@@ -139,12 +142,13 @@ def build_ytb_fixture(root, *, n_videos: int = 6, frames_per_video: int = 12,
         json.dump(templates, fh)
 
     store_path = root / "ytb_features.vlnstore"
-    write_store(store_path, keys, seed=seed)
+    write_store(store_path, keys, k_boxes=k_boxes, seed=seed)
 
     # frozen testset, built with the live samplers (the reference freezes
     # eval negatives the same way, scripts/build_dataset/build_testset.py)
     from .datasets import YTbDataset  # local import to avoid cycle
-    args = _default_args(skeleton_path=str(skeleton_path))
+    args = _default_args(skeleton_path=str(skeleton_path),
+                         **(args_overrides or {}))
     from .features_reader import YTbFeaturesReader
     reader = YTbFeaturesReader(store_path)
     ds = YTbDataset(args=args, caption_path=caption_path, tokenizer=tok,

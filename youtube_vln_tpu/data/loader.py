@@ -14,6 +14,7 @@ distributed.py:156-180``) with:
 """
 from __future__ import annotations
 
+import ctypes
 import hashlib
 import logging
 import multiprocessing as mp
@@ -22,6 +23,30 @@ import threading
 from typing import Dict, Iterator, List, Optional, Sequence
 
 import numpy as np
+
+_MALLOC_TUNED = False
+
+
+def _tune_malloc_for_large_buffers() -> None:
+    """Keep multi-hundred-MB batch buffers in glibc's reused arena.
+
+    By default allocations past M_MMAP_THRESHOLD get a FRESH mmap, so with
+    prefetch holding the previous batches alive every collate repaid its
+    full page-fault bill (~2.3 s/batch at the flagship geometry, ~8x the
+    actual copy time — scripts/bench_loader.py).  Raising the mmap/trim
+    thresholds makes freed batch memory cycle warm.  Footprint grows to
+    the peak concurrent-batch watermark, which is exactly the prefetch
+    depth.  No-op off glibc."""
+    global _MALLOC_TUNED
+    if _MALLOC_TUNED:
+        return
+    _MALLOC_TUNED = True
+    try:
+        libc = ctypes.CDLL("libc.so.6", use_errno=True)
+        libc.mallopt(-3, 1 << 30)   # M_MMAP_THRESHOLD
+        libc.mallopt(-1, 1 << 30)   # M_TRIM_THRESHOLD
+    except Exception:
+        pass
 
 # fork-inherited state for worker processes (set right before Pool
 # creation; tasks pickle only (epoch, idx) pairs, never the dataset)
@@ -145,11 +170,33 @@ BATCH_KEYS = ("ranking_target", "image_features", "image_locations",
 
 def collate(samples: Sequence[Dict[str, np.ndarray]], nc: int,
             with_instr_id: bool = False) -> Dict[str, np.ndarray]:
-    padded = [pad_candidates(s, nc) for s in samples]
-    keys = [k for k in BATCH_KEYS if k in padded[0]]
-    batch = {k: np.stack([p[k] for p in padded]) for k in keys}
+    """Stack items into [bs, nc, ...] batch arrays, padding the candidate
+    dim (semantically pad_candidates + np.stack, but each key fills ONE
+    batch allocation directly — the pad-then-stack route costs two copies
+    and ~bs allocations per key, which dominated the feed rate at the
+    flagship item size; see scripts/bench_loader.py)."""
+    bs = len(samples)
+    first = samples[0]
+    batch: Dict[str, np.ndarray] = {}
+    for k in BATCH_KEYS:
+        if k not in first:
+            continue
+        v0 = np.asarray(first[k])
+        if k == "ranking_target" and v0.ndim == 0:
+            batch[k] = np.stack([np.asarray(s[k]) for s in samples])
+            continue
+        dtype = bool if k == "opt_mask" else v0.dtype
+        arr = np.empty((bs, nc) + v0.shape[1:], dtype)
+        for i, s in enumerate(samples):
+            v = np.asarray(s[k])
+            cur = v.shape[0]
+            arr[i, :cur] = v
+            if cur < nc:
+                arr[i, cur:] = 0
+        batch[k] = arr
     if with_instr_id:
-        batch["instr_id"] = np.stack([p["instr_id"] for p in padded])
+        batch["instr_id"] = np.stack([np.asarray(s["instr_id"])
+                                      for s in samples])
     return batch
 
 
@@ -163,13 +210,16 @@ class Loader:
     num_workers > 0 assembles items in a fork-based process pool (the
     reference's DataLoader workers, num_workers=3 per GPU).  Sampling is
     deterministic in (seed, epoch, index) regardless of worker count.
-    Sizing guidance: one worker produces ~32 traj/s at full geometry
-    (220 ms/sample measured on a weak single-core host; a real TPU-VM
-    core is faster) and a v5e chip consumes ~209 traj/s, so plan ~5-7
-    workers per chip; on starved hosts (this dev box has a single core)
-    leave num_workers=0 — the transport overhead cannot be amortized
-    without CPUs.  Items that overflow the shared-memory slabs fall back
-    to pickling LOUDLY (warning + ``shm_fallbacks`` counter).
+    Sizing guidance (scripts/bench_loader.py, measured on a weak
+    single-core host — real TPU-VM cores are several times faster): item
+    assembly ~95 ms (=74 traj/s/worker); collate runs in the CONSUMER
+    process and is memory-bandwidth-bound (~740 MB/batch of cold copies:
+    ~1.3 s on this throttled core, ~70 ms at a real host's >10 GB/s), so
+    it does not bottleneck multi-worker scaling there.  A v5e chip
+    consumes ~209 traj/s -> plan ~4-6 workers per chip.  On starved
+    hosts leave num_workers=0 — the transport overhead cannot be
+    amortized without CPUs.  Items that overflow the shared-memory slabs
+    fall back to pickling LOUDLY (warning + ``shm_fallbacks`` counter).
     """
 
     def __init__(self, dataset, batch_size: int, *, shuffle: bool,
@@ -178,6 +228,7 @@ class Loader:
                  prefetch: int = 2, num_candidates: Optional[int] = None,
                  with_instr_id: bool = False, num_workers: int = 0,
                  use_shared_memory: bool = True):
+        _tune_malloc_for_large_buffers()
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
