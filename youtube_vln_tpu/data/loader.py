@@ -135,33 +135,6 @@ def shard_indices(n: int, *, shuffle: bool, seed: int, epoch: int,
     return order
 
 
-def pad_candidates(sample: Dict[str, np.ndarray], nc: int
-                   ) -> Dict[str, np.ndarray]:
-    """Pad the candidate dimension to ``nc``; opt_mask marks real rows."""
-    out = {}
-    cur = sample["opt_mask"].shape[0]
-    assert cur <= nc, (cur, nc)
-    pad = nc - cur
-    for k, v in sample.items():
-        if k in ("instr_id", "ordering_target"):
-            out[k] = v
-        elif k == "ranking_target":
-            if v.ndim == 0:
-                out[k] = v
-            else:
-                out[k] = np.concatenate(
-                    [v, np.zeros((pad,), v.dtype)]) if pad else v
-        elif k == "opt_mask":
-            out[k] = np.concatenate([v, np.zeros((pad,), bool)]) if pad else v
-        else:
-            if pad:
-                padding = np.zeros((pad,) + v.shape[1:], v.dtype)
-                out[k] = np.concatenate([v, padding], axis=0)
-            else:
-                out[k] = v
-    return out
-
-
 BATCH_KEYS = ("ranking_target", "image_features", "image_locations",
               "image_mask", "image_targets", "image_targets_mask",
               "image_targets_idx", "instr_tokens", "instr_mask",
@@ -170,11 +143,12 @@ BATCH_KEYS = ("ranking_target", "image_features", "image_locations",
 
 def collate(samples: Sequence[Dict[str, np.ndarray]], nc: int,
             with_instr_id: bool = False) -> Dict[str, np.ndarray]:
-    """Stack items into [bs, nc, ...] batch arrays, padding the candidate
-    dim (semantically pad_candidates + np.stack, but each key fills ONE
-    batch allocation directly — the pad-then-stack route costs two copies
-    and ~bs allocations per key, which dominated the feed rate at the
-    flagship item size; see scripts/bench_loader.py)."""
+    """Stack items into [bs, nc, ...] batch arrays, zero-padding the
+    candidate dim (opt_mask marks the real rows; scalar ranking_target
+    stays [bs]).  Each key fills ONE batch allocation directly — a
+    pad-per-item-then-stack route costs two copies and ~bs allocations
+    per key, which dominated the feed rate at the flagship item size
+    (see scripts/bench_loader.py)."""
     bs = len(samples)
     first = samples[0]
     batch: Dict[str, np.ndarray] = {}
