@@ -28,7 +28,9 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--num_workers", type=int, default=0)
     ap.add_argument("--items", type=int, default=24)
-    ap.add_argument("--sparse", action="store_true", default=True)
+    ap.add_argument("--sparse", action=argparse.BooleanOptionalAction,
+                    default=True,
+                    help="--no-sparse benches dense [S_v,1601] targets")
     ns = ap.parse_args()
 
     from youtube_vln_tpu.data import fixtures as F
@@ -88,11 +90,13 @@ def main():
 
     cand_per_item = nc / n
     e2e = rows / dt_loader
+    workers = max(1, ns.num_workers)   # 0 = in-process, one worker-equiv
     print(json.dumps({
         "metric": "loader_traj_per_s_per_worker",
-        "value": round(e2e, 1),
+        "value": round(e2e / workers, 1),
         "unit": "traj/s/worker",
         "detail": {
+            "aggregate_traj_per_s": round(e2e, 1),
             "assembly_item_ms": round(dt_item * 1000, 1),
             "assembly_traj_per_s": round(cand_per_item / dt_item, 1),
             "candidates_per_item": round(cand_per_item, 2),

@@ -240,7 +240,8 @@ def run_extraction(frames_dir, out_dir,
     Invocation semantics follow the reference's multi-GPU orchestration:
     a pool run covers ONE shard group, shards start..start+num_workers-1
     (the reference launches one such invocation per GPU group with a
-    different --start; 11 shards / 3 workers = 4 invocations).  The
+    different --start; 11 shards / 3 workers = invocations at start
+    0, 3, 6, then a final one with --start 9 --num_workers 2).  The
     sequential path (num_workers <= 1) is a deliberate superset of the
     reference — it builds shards start..num_splits-1 in one go instead of
     only shard `start`, so a single-process run covers everything.

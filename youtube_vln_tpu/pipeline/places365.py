@@ -308,6 +308,11 @@ def preprocess_images_crop(images_uint8: np.ndarray, resize: int = 256,
     return np.asarray((x - IMAGENET_MEAN) / IMAGENET_STD, np.float32)
 
 
+# shared jitted instance — the per-video 5b driver calls the scorer once
+# per video, and a per-call jax.jit would re-trace AlexNet every time
+_alexnet_forward_jit = jax.jit(alexnet_forward)
+
+
 def alexnet_indoor_probs(params, images_uint8: np.ndarray,
                          is_indoor_class: np.ndarray,
                          batch_size: int = 64, top_k: int = 10) -> np.ndarray:
@@ -317,7 +322,7 @@ def alexnet_indoor_probs(params, images_uint8: np.ndarray,
     filters.filter_frames."""
     from .filters import indoor_probability
 
-    fwd = jax.jit(alexnet_forward)
+    fwd = _alexnet_forward_jit
     out: List[float] = []
     for s in range(0, len(images_uint8), batch_size):
         imgs = preprocess_images_crop(images_uint8[s:s + batch_size])
