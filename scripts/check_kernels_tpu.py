@@ -6,13 +6,16 @@ epilogue AND both attention kernels:
 
   1. drop fraction ~ rate (epilogue; the mask actually fires at the rate);
   2. mask replay + determinism: each custom-VJP backward regenerates its
-     forward's exact
-     mask.  Checked by directional finite differences through a probe the
-     output is LINEAR in (the attention kernels' V operand; the epilogue's
-     h at small eps) — linearity makes the FD exact up to f32 rounding, so
-     a replay mismatch shows up as an O(1) relative error while the noise
-     floor is <1%.  (A q-side probe is useless here: FD truncation from
-     softmax curvature dominates even with dropout off.)
+     forward's exact mask, checked by directional finite differences
+     through a probe the output is LINEAR in (the attention kernels' V
+     operand; the epilogue's h at small eps) — linearity makes the FD
+     exact up to f32 rounding, so a replay mismatch shows up as an O(1)
+     relative error while the noise floor is <1%.  The three probe
+     dispatches carry distinct values, so their agreement also proves
+     cross-dispatch determinism (a same-value re-dispatch would be
+     memoized by the axon runtime and prove nothing).  A q-side probe is
+     useless here: FD truncation from softmax curvature dominates even
+     with dropout off.
 
 Exit code 0 = all checks pass.  Prints one JSON line.
 """
