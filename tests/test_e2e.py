@@ -179,3 +179,18 @@ def test_pretrain_bnb_entry(env):
         "--ranking", "--masked_language", "--save_name", "bnb_pre",
         "--num_epochs", "1"])
     assert "ranking" in best
+
+
+def test_default_from_pretrained_sentinel(env):
+    """Without --from_pretrained the CLI defaults to the reference's HF
+    model-name sentinel 'bert-base-uncased'; the engine must init from
+    scratch instead of torch.load-ing the literal string (the reference
+    would download those weights; this environment has no egress)."""
+    from conftest import load_entry
+    pretrain = load_entry('pretrain')
+    flags = [f for f in common_flags(env) if f != ""]
+    flags.remove("--from_pretrained")
+    best = pretrain.main(flags + [
+        "--pre_dataset", "ytb", "--prefix", "merge+", "--ranking",
+        "--num_epochs", "1", "--save_name", "sentinel"])
+    assert "ranking" in best

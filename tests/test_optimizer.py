@@ -195,3 +195,34 @@ def test_fused_apply_equals_delta_update(rng):
                         jax.tree_util.tree_leaves(state_u)):
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
         params, state = new_params, new_state
+
+
+def test_schedule_with_accumulation_matches_reference_totals():
+    """Regression: steps_per_epoch passed to make_schedule counts OPTIMIZER
+    steps (the engine loader yields accumulated batches), so t_total must
+    NOT be divided by grad-accum again — the double division parked the LR
+    at 0 after ~1/accum of an accumulated run."""
+    import numpy as np
+    from youtube_vln_tpu.config import RunConfig
+    from youtube_vln_tpu.training.optimization import make_schedule
+
+    micro_per_epoch, accum, epochs = 40, 4, 3
+    opt_steps_per_epoch = micro_per_epoch // accum   # == len(train_loader)
+    args = RunConfig(pretrain=True, learning_rate=1.0, num_epochs=epochs,
+                     gradient_accumulation_steps=accum,
+                     warmup_proportion=0.2, cooldown_factor=2.0)
+    sched = make_schedule(args, opt_steps_per_epoch)
+
+    # reference totals (vilbert_init.py:26-40 with a MICRObatch loader):
+    # t_total = len(loader)//accum * epochs
+    t_total = (micro_per_epoch // accum) * epochs
+    warmup = 0.2 * t_total
+    adjusted = warmup + 2.0 * (t_total - warmup)
+    for step in (0, 3, int(warmup), 20, int(adjusted) - 1):
+        warm = step / max(1.0, warmup)
+        decay = max(0.0, (adjusted - step) / max(1.0, adjusted - warmup))
+        expect = warm if step < warmup else decay
+        np.testing.assert_allclose(float(sched(step)), expect, rtol=1e-6,
+                                   err_msg=f"step {step}")
+    # the double-division bug reached lr=0 around adjusted/accum
+    assert float(sched(int(adjusted / accum) + 1)) > 0.0

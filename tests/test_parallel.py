@@ -117,12 +117,18 @@ def test_dp4_tp2_train_step(setup, rng):
 
 
 def test_grad_accumulation_equivalence(setup, rng):
-    """accum=2 over two half-batches == accum=1 over the full batch."""
+    """accum=2 over two half-batches == accum=1 over the full batch.
+
+    ConstantLR so step 0 trains at the real learning rate — under the
+    warmup schedule lr(0) == 0 and the comparison would be vacuous
+    (both sides returning the unchanged init params)."""
     cfg, _, params = setup
     args1 = RunConfig(ranking=True, traj_judge=True, pretrain=True,
-                      learning_rate=1e-3, gradient_accumulation_steps=1)
+                      learning_rate=1e-3, gradient_accumulation_steps=1,
+                      ConstantLR=True)
     args2 = RunConfig(ranking=True, traj_judge=True, pretrain=True,
-                      learning_rate=1e-3, gradient_accumulation_steps=2)
+                      learning_rate=1e-3, gradient_accumulation_steps=2,
+                      ConstantLR=True)
 
     full = make_batch(rng, 8, 3, 8, 10, cfg)
     micro = jax.tree_util.tree_map(
@@ -140,9 +146,13 @@ def test_grad_accumulation_equivalence(setup, rng):
     # up to fp noise.  (Not exactly: mean of microbatch grads == grad of
     # means only because every loss is a mean with equal weights per
     # microbatch here.)
-    for a, b in zip(jax.tree_util.tree_leaves(s1.params),
-                    jax.tree_util.tree_leaves(s2.params)):
+    changed = False
+    for a, b, p0 in zip(jax.tree_util.tree_leaves(s1.params),
+                        jax.tree_util.tree_leaves(s2.params),
+                        jax.tree_util.tree_leaves(params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-3)
+        changed = changed or bool(np.any(np.asarray(a) != np.asarray(p0)))
+    assert changed, "step was a no-op: nothing was actually compared"
 
 
 def test_mesh_shape_cli_entry(tmp_path):

@@ -97,10 +97,19 @@ def _pack_into_slab(item, slab) -> Optional[list]:
 def _fetch_shm(task):
     """Worker: build the item, write it into a free shared-memory slab and
     return only (slot, schema).  Falls back to pickling the item when it
-    exceeds the slab size."""
+    exceeds the slab size — or when no slot frees up in time: imap hands
+    results to the parent IN ORDER, so a fast worker can park many
+    completed-but-unconsumed items on slots while the parent waits for a
+    slow worker's next-in-order item; if that slow worker then blocked
+    here on an empty free queue nothing would ever be released (deadlock).
+    Degrading to pickle keeps the pipeline moving and is counted loudly
+    by the parent (shm_fallbacks)."""
     epoch, idx = task
     item = _get_item(epoch, idx)
-    slot = _WORKER_FREE_Q.get()
+    try:
+        slot = _WORKER_FREE_Q.get(timeout=5.0)
+    except queue.Empty:
+        return ("pickle", item)
     schema = _pack_into_slab(item, _WORKER_SLABS[slot])
     if schema is None:
         _WORKER_FREE_Q.put(slot)

@@ -226,22 +226,20 @@ class Store:
                 str(self._path).encode())
             if not self._handle:
                 self._native = None
-        if self._handle:
-            n = self._native.vlnstore_num_records(self._handle)
-            for i in range(n):
-                key = self._native.vlnstore_key_at(self._handle, i).decode()
-                off = self._native.vlnstore_lookup(self._handle, key.encode())
-                self._offsets[key] = off
-        else:
-            p = index_offset
-            for _ in range(n_records):
-                (klen,) = struct.unpack_from("<H", self._mm, p)
-                p += 2
-                key = self._mm[p:p + klen].decode("utf-8")
-                p += klen
-                (off,) = struct.unpack_from("<Q", self._mm, p)
-                p += 8
-                self._offsets[key] = off
+        # the index is always parsed in ONE pass over the mmap — the
+        # native handle used to be re-enumerated key-by-key (two ctypes
+        # round-trips per record, O(n) FFI for shards with 100k+ keys)
+        # only to rebuild this same dict; the handle stays open purely
+        # for the pack_path fast path
+        p = index_offset
+        for _ in range(n_records):
+            (klen,) = struct.unpack_from("<H", self._mm, p)
+            p += 2
+            key = self._mm[p:p + klen].decode("utf-8")
+            p += klen
+            (off,) = struct.unpack_from("<Q", self._mm, p)
+            p += 8
+            self._offsets[key] = off
         if len(self._offsets) != n_records:
             raise ValueError(
                 f"corrupt store {path}: expected {n_records} records, "

@@ -248,8 +248,11 @@ def pallas_attention_core(q, k, v, mask, *, dropout_rate: float = 0.0,
     bias = jnp.repeat(bias, h, axis=0).reshape(b * h, 1, s_kv)
 
     if train and dropout_rate > 0.0 and rng is not None:
+        # seeds ride a float32 scalar-prefetch operand; cap at 2^23 so the
+        # round-trip is exact (int32-range values quantize to multiples of
+        # up to 128 in f32, collapsing distinct per-layer/step seeds)
         seed = jax.random.randint(rng, (), 0,
-                                  np.iinfo(np.int32).max).astype(jnp.float32)
+                                  1 << 23).astype(jnp.float32)
     else:
         seed = jnp.zeros((), jnp.float32)
         dropout_rate = 0.0
@@ -509,8 +512,11 @@ def pallas_bi_attention(q1, k1, v1, q2, k2, v2, v_mask, t_mask, *,
     tbias = key_bias(t_mask, s_t)
 
     if train and (rate1 > 0.0 or rate2 > 0.0) and rng is not None:
+        # seeds ride a float32 scalar-prefetch operand; cap at 2^23 so the
+        # round-trip is exact (int32-range values quantize to multiples of
+        # up to 128 in f32, collapsing distinct per-layer/step seeds)
         seed = jax.random.randint(rng, (), 0,
-                                  np.iinfo(np.int32).max).astype(jnp.float32)
+                                  1 << 23).astype(jnp.float32)
     else:
         seed = jnp.zeros((), jnp.float32)
         rate1 = rate2 = 0.0

@@ -237,8 +237,11 @@ def pallas_dropout_add_ln(h, res, ln_params, *, rate: float = 0.0,
         return None
 
     if train and rate > 0.0 and rng is not None:
+        # seeds ride a float32 scalar-prefetch operand; cap at 2^23 so the
+        # round-trip is exact (int32-range values quantize to multiples of
+        # up to 128 in f32, collapsing distinct per-layer/step seeds)
         seed = jax.random.randint(rng, (), 0,
-                                  np.iinfo(np.int32).max).astype(jnp.float32)
+                                  1 << 23).astype(jnp.float32)
     else:
         seed = jnp.zeros((), jnp.float32)
         rate = 0.0

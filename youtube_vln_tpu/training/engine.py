@@ -205,7 +205,10 @@ class Engine:
         start_epoch = 0
         opt_override = None
         step_override = 0
-        if args.from_pretrained:
+        if args.from_pretrained and args.from_pretrained != "bert-base-uncased":
+            # the CLI default is the reference's HF model name sentinel
+            # (cli.py); the reference downloads those weights, this
+            # environment has no egress — init from scratch like test.py
             params = jax.tree_util.tree_map(np.asarray, params)
             params, opt_state, step, epoch = ckpt.load_checkpoint(
                 args.from_pretrained, model_cfg, params)

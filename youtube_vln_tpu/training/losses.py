@@ -202,25 +202,16 @@ def compute_task_losses(outputs: Dict[str, jnp.ndarray], batch: Dict,
         total = total + loss
     if cfg_tasks["traj_judge"]:
         logits = outputs["traj"].reshape(bs, nc)
-        if cfg_tasks["training"]:
-            target_row = traj_judge_targets(
-                nc,
-                ranking_or_no_judge_data=(cfg_tasks["ranking"]
-                                          or cfg_tasks["not_traj_judge_data"]),
-                pretrain=cfg_tasks["pretrain"],
-                num_negatives=cfg_tasks["num_negatives"])
-            loss, correct = traj_judge_loss(logits, opt_mask, target_row)
-        else:
-            # pretrain test split scores the frozen testset with the same
-            # layout (test_epoch -> get_loss_correct(training=False) routes
-            # traj through the same branch, utils_init.py:147-162)
-            target_row = traj_judge_targets(
-                nc,
-                ranking_or_no_judge_data=(cfg_tasks["ranking"]
-                                          or cfg_tasks["not_traj_judge_data"]),
-                pretrain=cfg_tasks["pretrain"],
-                num_negatives=cfg_tasks["num_negatives"])
-            loss, correct = traj_judge_loss(logits, opt_mask, target_row)
+        # train and eval share one layout: the reference's get_loss_correct
+        # routes traj through the same branch either way (the pretrain test
+        # split scores the frozen testset identically, utils_init.py:147-162)
+        target_row = traj_judge_targets(
+            nc,
+            ranking_or_no_judge_data=(cfg_tasks["ranking"]
+                                      or cfg_tasks["not_traj_judge_data"]),
+            pretrain=cfg_tasks["pretrain"],
+            num_negatives=cfg_tasks["num_negatives"])
+        loss, correct = traj_judge_loss(logits, opt_mask, target_row)
         metrics["loss/traj"] = loss
         metrics["correct/traj"] = correct
         total = total + cfg_tasks["traj_loss_scale"] * loss

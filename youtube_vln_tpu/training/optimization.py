@@ -110,13 +110,20 @@ SCHEDULES = {
 
 
 def make_schedule(args, steps_per_epoch: int) -> Callable:
-    """Reference get_optimization schedule selection (vilbert_init.py:23-40)."""
+    """Reference get_optimization schedule selection (vilbert_init.py:23-40).
+
+    ``steps_per_epoch`` counts OPTIMIZER steps (the engine's Loader yields
+    one full accumulated batch per step, so len(train_loader) is already
+    post-accumulation).  The reference divides its dataloader length by
+    grad-accum because torch DataLoaders yield MICRObatches
+    (dataset_init.py:205) — dividing here again would shrink t_total by
+    accum x and silently park the LR at 0 for most of an accumulated run.
+    """
     if (args.pretrain and args.no_scheduler) or args.ConstantLR:
         return constant_schedule(args.learning_rate)
     if args.no_scheduler:
         return constant_schedule(args.learning_rate)
-    t_total = (steps_per_epoch // args.gradient_accumulation_steps) \
-        * args.num_epochs
+    t_total = steps_per_epoch * args.num_epochs
     warmup_steps = args.warmup_proportion * t_total
     adjusted = warmup_steps + args.cooldown_factor * (t_total - warmup_steps)
     name = getattr(args, "lr_schedule", "warmup_linear")
