@@ -195,26 +195,28 @@ def params_to_state_dict(params: Dict[str, Any], cfg: LilyConfig) -> Dict[str, n
 
 
 def load_torch_checkpoint(path: str, cfg: LilyConfig, params: Dict[str, Any]):
-    """Load a reference ``.bin`` file (requires torch, CPU-only)."""
-    import torch
-    state_dict = torch.load(path, map_location="cpu", weights_only=False)
+    """Load a reference ``.bin`` file (zip or legacy format; no torch
+    needed — models/torch_serialization.py)."""
+    from . import torch_serialization
+    state_dict = torch_serialization.load(path)
     return state_dict_to_params(state_dict, cfg, params)
 
 
 def save_torch_checkpoint(path: str, params: Dict[str, Any], cfg: LilyConfig,
                           extra: Dict[str, Any] = None):
-    """Write a ``.bin`` loadable by the reference (utils_init.py:277-295).
+    """Write a ``.bin`` loadable by the reference (utils_init.py:277-295)
+    via the pure-Python writer (torch needs not be installed on TPU hosts;
+    the output loads under torch.load including weights_only=True).
 
     Atomic: writes to a sibling temp file and renames, so a crash mid-save
     never corrupts (or half-overwrites) the previous checkpoint."""
     import os
-    import torch
-    # copy: jax-backed arrays are non-writable views torch would warn about
-    sd = {k: torch.from_numpy(np.array(v, copy=True))
-          for k, v in params_to_state_dict(params, cfg).items()}
+
+    from . import torch_serialization
+    sd = params_to_state_dict(params, cfg)
     payload = {"model_state_dict": sd}
     if extra:
         payload.update(extra)
     tmp = f"{path}.tmp"
-    torch.save(payload, tmp)
+    torch_serialization.save(payload, tmp)
     os.replace(tmp, path)

@@ -42,8 +42,6 @@ def _tree_to_numpy(tree):
 
 def save_checkpoint(save_dir, save_name, params, cfg: LilyConfig,
                     opt_state=None, step: int = 0, epoch: int = 0) -> str:
-    import torch
-
     path = checkpoint_path(save_dir, save_name)
     extra: Dict[str, Any] = {"epoch": epoch, "jax_step": int(step)}
     if opt_state is not None:
@@ -55,12 +53,53 @@ def save_checkpoint(save_dir, save_name, params, cfg: LilyConfig,
     return path
 
 
+def resolve_pretrained(path_or_url) -> Tuple[str, Optional[str]]:
+    """Reference ``from_pretrained`` path semantics (vilbert.py:1014-1093):
+    URLs go through cached_path; a directory means ``<dir>/
+    pytorch_model.bin``; a ``*bin`` file is used as-is; anything else is
+    treated as a ``.tar.gz`` archive and extracted to a temp dir whose
+    ``pytorch_model.bin`` is loaded.  Returns (weights_path, tempdir) —
+    the caller removes tempdir (if not None) after loading."""
+    import tarfile
+    import tempfile
+
+    path = str(path_or_url)
+    if "://" in path:
+        from ..utils.file_cache import cached_path
+        resolved = cached_path(path)
+        logger.info("loading archive file %s from cache at %s", path,
+                    resolved)
+    else:
+        resolved = path
+    if os.path.isdir(resolved):
+        return os.path.join(resolved, "pytorch_model.bin"), None
+    if resolved.endswith("bin"):
+        return resolved, None
+    tempdir = tempfile.mkdtemp()
+    logger.info("extracting archive file %s to temp dir %s", resolved,
+                tempdir)
+    with tarfile.open(resolved, "r:gz") as archive:
+        archive.extractall(tempdir, filter="data")
+    return os.path.join(tempdir, "pytorch_model.bin"), tempdir
+
+
 def load_checkpoint(path, cfg: LilyConfig, params,
                     ) -> Tuple[Any, Optional[Any], int, int]:
-    """Returns (params, opt_state_or_None, step, epoch)."""
-    import torch
+    """Returns (params, opt_state_or_None, step, epoch).
 
-    payload = torch.load(path, map_location="cpu", weights_only=False)
+    ``path`` may be a ``.bin`` file, a directory holding
+    ``pytorch_model.bin``, a ``.tar.gz`` archive (the published ViLBERT
+    Conceptual-Captions distribution format), or a URL to any of those."""
+    import shutil
+
+    from ..models import torch_serialization
+
+    weights_path, tempdir = resolve_pretrained(path)
+    try:
+        payload = torch_serialization.load(weights_path)
+    finally:
+        if tempdir:
+            shutil.rmtree(tempdir, ignore_errors=True)
     params, missing, unexpected = torch_io.state_dict_to_params(
         payload if isinstance(payload, dict) else payload.state_dict(),
         cfg, params)
@@ -92,6 +131,25 @@ def delete_checkpoint(save_dir, save_name) -> None:
     path = checkpoint_path(save_dir, save_name)
     if os.path.exists(path):
         os.unlink(path)
+    orbax_dir = os.path.join(save_dir, f"{save_name}.orbax")
+    if os.path.isdir(orbax_dir):
+        import shutil
+        shutil.rmtree(orbax_dir, ignore_errors=True)
+
+
+def is_orbax_checkpoint(path) -> bool:
+    """True when ``path`` is a directory written by :func:`save_orbax`
+    (an OCDBT manifest or per-array subdirs with Zarr/TS metadata),
+    as opposed to a ``from_pretrained`` directory holding a torch
+    ``pytorch_model.bin``."""
+    p = Path(path)
+    if not p.is_dir():
+        return False
+    if (p / "pytorch_model.bin").exists():
+        return False
+    markers = ("manifest.ocdbt", "_CHECKPOINT_METADATA", "_METADATA",
+               "ocdbt.process_0", "zarr.json", ".zarray")
+    return any((p / m).exists() for m in markers)
 
 
 # --------------------------------------------------------------------------- #

@@ -205,18 +205,33 @@ class Engine:
         start_epoch = 0
         opt_override = None
         step_override = 0
-        if args.from_pretrained and args.from_pretrained != "bert-base-uncased":
+        pending_orbax = None
+        is_sentinel = (args.from_pretrained == "bert-base-uncased"
+                       and not Path(args.from_pretrained).exists())
+        if args.from_pretrained and is_sentinel:
             # the CLI default is the reference's HF model name sentinel
             # (cli.py); the reference downloads those weights, this
-            # environment has no egress — init from scratch like test.py
-            params = jax.tree_util.tree_map(np.asarray, params)
-            params, opt_state, step, epoch = ckpt.load_checkpoint(
-                args.from_pretrained, model_cfg, params)
-            if args.resume:
-                opt_override, step_override = opt_state, step
-                start_epoch = epoch + 1
-                self.log.info(f"resuming from epoch {start_epoch}")
-        self.start_epoch = start_epoch
+            # environment has no egress — init from scratch like test.py.
+            # Loud on purpose: a user expecting BERT-pretrained init should
+            # know they are getting random init.
+            self.log.warning(
+                "from_pretrained='bert-base-uncased' is the HF-name sentinel "
+                "and no such local path exists: initializing from scratch "
+                "(no egress to download HF weights)")
+        if args.from_pretrained and not is_sentinel:
+            if ckpt.is_orbax_checkpoint(args.from_pretrained):
+                # sharded checkpoint: restore AFTER the state exists, so
+                # every leaf lands directly in its mesh sharding (no host
+                # gather / re-shard round trip)
+                pending_orbax = args.from_pretrained
+            else:
+                params = jax.tree_util.tree_map(np.asarray, params)
+                params, opt_state, step, epoch = ckpt.load_checkpoint(
+                    args.from_pretrained, model_cfg, params)
+                if args.resume:
+                    opt_override, step_override = opt_state, step
+                    start_epoch = epoch + 1
+                    self.log.info(f"resuming from epoch {start_epoch}")
 
         shardings = param_shardings(self.mesh, params, model_cfg)
         params = shard_params(params, shardings)
@@ -226,6 +241,24 @@ class Engine:
             self.state = ts.TrainState(self.state.params,
                                        jax.device_put(opt_override),
                                        jax.numpy.asarray(step_override))
+        if pending_orbax is not None:
+            payload = ckpt.load_orbax(
+                pending_orbax, {"params": self.state.params,
+                                "opt_state": self.state.opt_state,
+                                "step": 0, "epoch": 0})
+            if args.resume:
+                self.state = ts.TrainState(payload["params"],
+                                           payload["opt_state"],
+                                           jax.numpy.asarray(
+                                               int(payload["step"])))
+                start_epoch = int(payload["epoch"]) + 1
+                self.log.info(f"resuming from epoch {start_epoch} "
+                              f"(orbax, sharded)")
+            else:
+                self.state = ts.TrainState(payload["params"],
+                                           self.state.opt_state,
+                                           self.state.step)
+        self.start_epoch = start_epoch
 
         self._train_step = jax.jit(ts.build_train_step(model_cfg, args,
                                                        self.tx),
@@ -357,6 +390,14 @@ class Engine:
     def save(self, save_name, epoch: int) -> str:
         assert self.save_folder is not None
         self.save_folder.mkdir(parents=True, exist_ok=True)
+        if self.args.orbax_checkpoints:
+            # sharded save: every host writes its own param/opt shards
+            # directly from device (usable for TP-sharded multi-host
+            # state, unlike the host-0 gather below)
+            return ckpt.save_orbax(
+                self.save_folder / f"{save_name}.orbax",
+                self.state.params, opt_state=self.state.opt_state,
+                step=int(self.state.step), epoch=epoch)
         return ckpt.save_checkpoint(
             self.save_folder, save_name,
             jax.tree_util.tree_map(np.asarray, self.state.params),
