@@ -55,9 +55,13 @@ def main():
     results = {}
     for bs in (1, 8):
         batch = jax.device_put(build_eval_batch(cfg, bs, nc, s_t, s_v))
+        # multiplicative jitter: a relative 1e-6 perturbation survives f32
+        # rounding at every magnitude, so each dispatch is bitwise-distinct
+        # and axon cannot memoize it (an additive 1e-12 would be absorbed
+        # for O(1)-magnitude features)
         jitter = jax.jit(lambda b, key: {
             **b, "image_features": b["image_features"]
-            + jax.random.uniform(key, (), jnp.float32) * 1e-12})
+            * (1.0 + jax.random.uniform(key, (), jnp.float32) * 1e-6)})
 
         # warmup: compile + force a readback
         out = step(params, jitter(batch, jax.random.PRNGKey(999)))

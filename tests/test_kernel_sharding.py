@@ -7,6 +7,15 @@ a PartitionSpec() output for a data-sharded input).  These tests pin the
 contract: batch-dim sharding flows through every kernel (fwd and VJP) with
 ZERO all-gathers, values match the unfused reference, and the epilogue's
 parameter grads come back replicated (psummed over the batch axes).
+
+Scope caveat: every case here runs with dropout rate=0, because the Pallas
+interpreter on the CPU mesh cannot lower the on-core PRNG.  The
+cross-shard dropout property (shards must NOT replay each other's mask
+streams — the motivation for global-row-id seeding) is therefore NOT
+pinned by this file; it is validated by inspection plus the single-chip
+linear-V probes in scripts/check_kernels_tpu.py, and that script's
+multichip_dropout_check() runs the real-hardware check whenever >1 TPU
+device is attached (pending pod access).
 """
 import numpy as np
 import pytest

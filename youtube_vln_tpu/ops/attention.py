@@ -141,7 +141,22 @@ def _fused_attention(q, k, v, bias, seed, dropout_rate, train, num_heads):
 
 
 def _seed_arr(seed):
-    return jnp.asarray(seed, jnp.float32).reshape(1)
+    return jnp.asarray(seed, jnp.int32).reshape(1)
+
+
+def _draw_seed(rng):
+    """Full-int32-range dropout seed carried as an int32 scalar-prefetch
+    operand.  (An earlier revision rode the seed through a float32 operand
+    capped at 2^23 to survive f32 quantization; the shrunken seed space gave
+    ~7e-5/step birthday-collision odds across the ~50 dropout sites — two
+    sites drawing identical mask streams for overlapping row ids.)"""
+    return jax.random.randint(rng, (), jnp.iinfo(jnp.int32).min,
+                              jnp.iinfo(jnp.int32).max, dtype=jnp.int32)
+
+
+def _seed_zero_cotangent(seed):
+    # integer primals carry float0 tangents under custom_vjp
+    return np.zeros(np.shape(seed), dtype=jax.dtypes.float0)
 
 
 def _run_fwd(q, k, v, bias, dropout_rate, seed, num_heads):
@@ -220,7 +235,7 @@ def _fused_attention_bwd(dropout_rate, train, num_heads, residuals, do):
     dq, dk, dv = sharded_batch_call(
         call, (_seed_arr(seed), _row_ids(q.shape[0]), q, k, v, bias, do),
         out_ranks=(3, 3, 3))
-    return dq, dk, dv, jnp.zeros_like(bias), jnp.zeros_like(seed)
+    return dq, dk, dv, jnp.zeros_like(bias), _seed_zero_cotangent(seed)
 
 
 _fused_attention.defvjp(_fused_attention_fwd, _fused_attention_bwd)
@@ -248,13 +263,9 @@ def pallas_attention_core(q, k, v, mask, *, dropout_rate: float = 0.0,
     bias = jnp.repeat(bias, h, axis=0).reshape(b * h, 1, s_kv)
 
     if train and dropout_rate > 0.0 and rng is not None:
-        # seeds ride a float32 scalar-prefetch operand; cap at 2^23 so the
-        # round-trip is exact (int32-range values quantize to multiples of
-        # up to 128 in f32, collapsing distinct per-layer/step seeds)
-        seed = jax.random.randint(rng, (), 0,
-                                  1 << 23).astype(jnp.float32)
+        seed = _draw_seed(rng)
     else:
-        seed = jnp.zeros((), jnp.float32)
+        seed = jnp.zeros((), jnp.int32)
         dropout_rate = 0.0
 
     qf = q.reshape(b * h, s_q, d)
@@ -480,7 +491,7 @@ def _fused_bi_attention_bwd(rate1, rate2, train, residuals, dout):
     dq1, dk1, dv1, dq2, dk2, dv2 = grads
     return (dq1, dk1, dv1, dq2, dk2, dv2,
             jnp.zeros_like(vbias), jnp.zeros_like(tbias),
-            jnp.zeros_like(seed))
+            _seed_zero_cotangent(seed))
 
 
 _fused_bi_attention.defvjp(_fused_bi_attention_fwd, _fused_bi_attention_bwd)
@@ -512,13 +523,9 @@ def pallas_bi_attention(q1, k1, v1, q2, k2, v2, v_mask, t_mask, *,
     tbias = key_bias(t_mask, s_t)
 
     if train and (rate1 > 0.0 or rate2 > 0.0) and rng is not None:
-        # seeds ride a float32 scalar-prefetch operand; cap at 2^23 so the
-        # round-trip is exact (int32-range values quantize to multiples of
-        # up to 128 in f32, collapsing distinct per-layer/step seeds)
-        seed = jax.random.randint(rng, (), 0,
-                                  1 << 23).astype(jnp.float32)
+        seed = _draw_seed(rng)
     else:
-        seed = jnp.zeros((), jnp.float32)
+        seed = jnp.zeros((), jnp.int32)
         rate1 = rate2 = 0.0
 
     flat = lambda x, s: x.reshape(b * h, s, d)

@@ -28,7 +28,8 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .attention import _dropout_mask, _interpret, _row_ids, _seed_arr
+from .attention import (_dropout_mask, _draw_seed, _interpret, _row_ids,
+                        _seed_arr, _seed_zero_cotangent)
 from .partition import sharded_batch_call
 
 LN_EPS = 1e-12
@@ -215,7 +216,7 @@ def _fused_epilogue_bwd(rate, residuals, do):
         out_ranks=(2, 2, 2, 2), replicated=(0, 4),
         reduced_outputs=(2, 3))
     return (dh, dres, dw.reshape(w.shape).astype(w.dtype),
-            db.reshape(w.shape).astype(w.dtype), jnp.zeros_like(seed))
+            db.reshape(w.shape).astype(w.dtype), _seed_zero_cotangent(seed))
 
 
 _fused_epilogue.defvjp(_fused_epilogue_fwd, _fused_epilogue_bwd)
@@ -237,13 +238,9 @@ def pallas_dropout_add_ln(h, res, ln_params, *, rate: float = 0.0,
         return None
 
     if train and rate > 0.0 and rng is not None:
-        # seeds ride a float32 scalar-prefetch operand; cap at 2^23 so the
-        # round-trip is exact (int32-range values quantize to multiples of
-        # up to 128 in f32, collapsing distinct per-layer/step seeds)
-        seed = jax.random.randint(rng, (), 0,
-                                  1 << 23).astype(jnp.float32)
+        seed = _draw_seed(rng)
     else:
-        seed = jnp.zeros((), jnp.float32)
+        seed = jnp.zeros((), jnp.int32)
         rate = 0.0
 
     out = _fused_epilogue(h.reshape(n, d), res.reshape(n, d),

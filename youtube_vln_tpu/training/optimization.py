@@ -154,6 +154,13 @@ def no_decay_mask(params):
         lambda path, _: _is_no_decay(path), params)
 
 
+class _AdamLeaf(tuple):
+    """Marker tuple for adamw_ref's fused (mu, nu, p) leaf triples."""
+
+    def __new__(cls, m, v, p):
+        return super().__new__(cls, (m, v, p))
+
+
 class FusedGradientTransformation(NamedTuple):
     """optax-compatible (init/update) plus ``apply``, a fused one-pass
     variant returning new params directly.
@@ -207,7 +214,10 @@ def adamw_ref(schedule: Callable, b1: float = 0.9, b2: float = 0.999,
         new_p = p - step_size * new_m / (jnp.sqrt(new_v) + eps)
         if weight_decay > 0.0 and not nd:
             new_p = new_p - lr * weight_decay * new_p
-        return new_m, new_v, new_p
+        # _AdamLeaf (not a bare tuple) so the take() is_leaf predicate
+        # cannot collide with tuple-typed structural nodes in the params
+        # pytree (dict/list-only today, but cheap to make collision-proof)
+        return _AdamLeaf(new_m, new_v, new_p)
 
     def apply(grads, state, params):
         lr, count, step_size = _scalars(state)
@@ -216,7 +226,7 @@ def adamw_ref(schedule: Callable, b1: float = 0.9, b2: float = 0.999,
             lambda m, v, g, p, nd: _leaf(m, v, g, p, nd, lr, step_size),
             state.mu, state.nu, grads, params, decay_mask)
         take = lambda i: jax.tree_util.tree_map(
-            lambda o: o[i], out, is_leaf=lambda x: isinstance(x, tuple))
+            lambda o: o[i], out, is_leaf=lambda x: isinstance(x, _AdamLeaf))
         new_params = take(2)
         return new_params, AdamWRefState(count=count, mu=take(0),
                                          nu=take(1))
