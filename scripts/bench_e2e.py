@@ -1,0 +1,176 @@
+"""END-TO-END training throughput: item assembly -> collate -> H2D -> step.
+
+VERDICT r2 item 1: the headline bench (bench.py) times pre-staged device
+batches, so it bounds the KERNEL rate; the reference's hot loop includes
+host assembly and per-batch transport (reference ``utils/utils_init.py:
+192-268``).  This drives the REAL pipeline — YTbDataset item assembly
+(trajectory/negative sampling, template instructions, native path packer,
+MLM/MVM masking), Loader collate, host->device transfer with
+device_prefetch overlap, and the jitted flagship train step — over a
+synthetic fixture store at the full geometry (101 boxes x 8 steps x 7
+candidates, 60 tokens, bf16 Pallas kernels), exactly as
+``Engine.train_epoch`` runs it.
+
+Alongside it reports the device-only rate (same executable, pre-staged
+batch, distinct rng per step so the axon runtime cannot memoize) for gap
+attribution, and the per-batch host/H2D byte volume so the
+``--dedup_candidates`` transport saving is measured, not estimated.
+
+One JSON line.  On this 1-core dev box the host side is the known
+bottleneck (CLAUDE.md); run with --num_workers N on a real multi-core
+TPU host for the production operating point.
+"""
+import argparse
+import json
+import sys
+import tempfile
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import numpy as np
+
+
+def batch_nbytes(batch) -> int:
+    return int(sum(np.asarray(v).nbytes for v in batch.values()))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--num_workers", type=int, default=0)
+    ap.add_argument("--batch_size", type=int, default=8)
+    ap.add_argument("--epochs", type=int, default=2,
+                    help="timed epochs (one extra warm epoch always runs)")
+    ap.add_argument("--n_videos", type=int, default=48)
+    ap.add_argument("--dedup", action=argparse.BooleanOptionalAction,
+                    default=True,
+                    help="--no-dedup ships per-candidate visual rows")
+    ns = ap.parse_args()
+
+    import jax
+
+    from youtube_vln_tpu.config import lily_base_config
+    from youtube_vln_tpu.data import fixtures as F
+    from youtube_vln_tpu.data.datasets import YTbDataset
+    from youtube_vln_tpu.data.features_reader import YTbFeaturesReader
+    from youtube_vln_tpu.data.loader import Loader, device_prefetch
+    from youtube_vln_tpu.data.tokenizer import load_tokenizer
+    from youtube_vln_tpu.models import init_lily_params
+    from youtube_vln_tpu.parallel import train_step as ts
+
+    flagship = dict(max_instruction_length=60, max_path_length=8,
+                    max_num_boxes=101, min_path_length=4, min_captioned=2,
+                    max_captioned=7, sparse_vision_targets=True,
+                    dedup_candidates=ns.dedup, learning_rate=2e-5,
+                    ranking=True, traj_judge=True, masked_vision=True,
+                    masked_language=True, pretrain=True, num_epochs=1,
+                    gradient_accumulation_steps=1)
+    with tempfile.TemporaryDirectory() as root:
+        t0 = time.perf_counter()
+        paths = F.build_ytb_fixture(root, n_videos=ns.n_videos,
+                                    frames_per_video=24, k_boxes=101,
+                                    args_overrides=flagship)
+        build_s = time.perf_counter() - t0
+
+        args = F._default_args(skeleton_path=paths["skeleton_path"],
+                               **flagship)
+        tok = load_tokenizer(paths["vocab_path"])
+        reader = YTbFeaturesReader(paths["store_path"])
+        ds = YTbDataset(args=args, caption_path=paths["caption_path"],
+                        tokenizer=tok, features_reader=reader,
+                        masked_vision=True, masked_language=True,
+                        training=True, seed=0)
+
+        cfg = lily_base_config(ranking=True, traj_judge=True,
+                               masked_vision=True, masked_language=True,
+                               compute_dtype="bfloat16",
+                               use_pallas_attention=True)
+        params = init_lily_params(jax.random.PRNGKey(0), cfg)
+        state, tx, _ = ts.create_train_state(params, args,
+                                             steps_per_epoch=1000)
+        step = jax.jit(ts.build_train_step(cfg, args, tx),
+                       donate_argnums=(0,))
+        rng = jax.random.PRNGKey(0)
+
+        loader = Loader(ds, ns.batch_size, shuffle=True, seed=0,
+                        num_workers=ns.num_workers, drop_last=True)
+        nc = ds.num_candidates()
+
+        # --- warm epoch: compile, malloc arena, caches; forced readback
+        loader.set_epoch(0)
+        n_warm = 0
+        sample_bytes = None
+        for batch in device_prefetch(iter(loader), depth=args.host_prefetch):
+            if sample_bytes is None:
+                sample_bytes = int(sum(
+                    np.asarray(v).nbytes for v in jax.tree_util.tree_leaves(
+                        jax.tree_util.tree_map(lambda x: np.zeros(
+                            x.shape, x.dtype), batch))))
+            state, metrics = step(state, batch,
+                                  jax.random.fold_in(rng, 1000 + n_warm))
+            n_warm += 1
+        float(metrics["loss/train"])  # drain the dispatch backlog
+
+        # --- timed END-TO-END epochs: the full loop, losses forced at the
+        # end of the region (axon: readback == execution)
+        t0 = time.perf_counter()
+        n_steps = 0
+        pending = []
+        for ep in range(1, 1 + ns.epochs):
+            loader.set_epoch(ep)
+            for batch in device_prefetch(iter(loader),
+                                         depth=args.host_prefetch):
+                state, metrics = step(state, batch,
+                                      jax.random.fold_in(rng, n_steps))
+                pending.append(metrics["loss/train"])
+                n_steps += 1
+        losses = [float(x) for x in pending]
+        dt_e2e = (time.perf_counter() - t0) / max(n_steps, 1)
+
+        # --- device-only: same executable, one pre-staged batch, fresh rng
+        # per step (distinct dispatches; axon memoizes identical inputs)
+        loader.set_epoch(0)
+        dbatch = jax.device_put(next(iter(loader)))
+        for i in range(2):  # warm + drain
+            state, metrics = step(state, dbatch,
+                                  jax.random.fold_in(rng, 5000 + i))
+            float(metrics["loss/train"])
+        t0 = time.perf_counter()
+        dev_steps = 8
+        pend = []
+        for i in range(dev_steps):
+            state, metrics = step(state, dbatch,
+                                  jax.random.fold_in(rng, 6000 + i))
+            pend.append(metrics["loss/train"])
+        _ = [float(x) for x in pend]
+        dt_dev = (time.perf_counter() - t0) / dev_steps
+
+        reader.close()
+
+    traj = ns.batch_size * nc
+    e2e_rate = traj / dt_e2e
+    dev_rate = traj / dt_dev
+    print(json.dumps({
+        "metric": "e2e_train_traj_per_s_per_chip",
+        "value": round(e2e_rate, 2),
+        "unit": "traj/s/chip",
+        "detail": {
+            "device_only_traj_per_s": round(dev_rate, 2),
+            "host_bound_gap": round(1.0 - e2e_rate / dev_rate, 3),
+            "e2e_step_ms": round(dt_e2e * 1000, 1),
+            "device_step_ms": round(dt_dev * 1000, 1),
+            "steps_timed": n_steps,
+            "batch": [ns.batch_size, nc, 60, 808],
+            "host_batch_bytes": sample_bytes,
+            "dedup_candidates": ns.dedup,
+            "num_workers": ns.num_workers,
+            "device": str(jax.devices()[0]),
+            "loss_last": losses[-1] if losses else None,
+            "fixture_build_s": round(build_s, 1),
+        },
+    }))
+
+
+if __name__ == "__main__":
+    main()

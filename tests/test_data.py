@@ -700,3 +700,96 @@ def test_tokenize_highlight_perturbation_parity(tmp_path):
     hl = ours[0]["instruction_highlights"][0]
     assert len(hl) == max_len and any(hl)
     assert hl[row.index(tok.vocab["kitchen"])]
+
+
+# --------------------------------------------------------------------------- #
+# candidate-dedup transport (--dedup_candidates)
+# --------------------------------------------------------------------------- #
+def _dedup_pair(ytb_env, seed=123):
+    from youtube_vln_tpu.data.tokenizer import load_tokenizer
+    tok = load_tokenizer(ytb_env["vocab_path"])
+    reader = YTbFeaturesReader(ytb_env["store_path"])
+    mk = lambda **kw: YTbDataset(
+        args=_ytb_args(skeleton_path=ytb_env["skeleton_path"],
+                       sparse_vision_targets=True, **kw),
+        caption_path=ytb_env["caption_path"], tokenizer=tok,
+        features_reader=reader, masked_vision=True, masked_language=True,
+        training=True, seed=0)
+    ds_dense, ds_dedup = mk(), mk(dedup_candidates=True)
+    ds_dense.reseed(seed)
+    dense = ds_dense[0]
+    ds_dedup.reseed(seed)
+    dedup = ds_dedup[0]
+    return dense, dedup, reader
+
+
+def test_dedup_item_expands_to_dense(ytb_env):
+    """The dedup item, host-expanded, must equal the dense item BIT-EXACTLY
+    (randomize_regions_sparse_dedup_np draws in the dense path's order)."""
+    dense, dedup, reader = _dedup_pair(ytb_env)
+    # ranking mode: positive + 2 caption-negs share visuals -> 5 unique
+    assert dedup["uniq_image_features"].shape[0] == 5
+    np.testing.assert_array_equal(dedup["cand_index"],
+                                  [0, 0, 0, 1, 2, 3, 4])
+
+    cm = dedup["cand_index"]
+    expanded = dedup["uniq_image_features"][cm].copy()
+    expanded[dedup["feature_zero_mask"].astype(bool)] = 0
+    np.testing.assert_array_equal(expanded, dense["image_features"])
+    np.testing.assert_array_equal(dedup["uniq_image_locations"][cm],
+                                  dense["image_locations"])
+    np.testing.assert_array_equal(dedup["uniq_image_mask"][cm],
+                                  dense["image_mask"])
+    for k in ("image_targets", "image_targets_idx", "image_targets_mask",
+              "instr_tokens", "instr_targets", "instr_mask", "opt_mask"):
+        np.testing.assert_array_equal(dedup[k], dense[k], err_msg=k)
+    reader.close()
+
+
+def test_dedup_train_step_matches_dense(ytb_env):
+    """Same losses through the jitted step whether the batch arrives dense
+    or dedup+in-graph-expanded (loss-exactness of the transport)."""
+    import jax
+    from youtube_vln_tpu.config import tiny_config
+    from youtube_vln_tpu.data.tokenizer import load_tokenizer
+    from youtube_vln_tpu.models import init_lily_params
+    from youtube_vln_tpu.parallel import train_step as ts
+
+    tok = load_tokenizer(ytb_env["vocab_path"])
+    reader = YTbFeaturesReader(ytb_env["store_path"])
+    mk = lambda **kw: YTbDataset(
+        args=_ytb_args(skeleton_path=ytb_env["skeleton_path"],
+                       sparse_vision_targets=True, traj_judge=True,
+                       learning_rate=1e-3, **kw),
+        caption_path=ytb_env["caption_path"], tokenizer=tok,
+        features_reader=reader, masked_vision=True, masked_language=True,
+        training=True, seed=0)
+    batches = {}
+    for name, ds in (("dense", mk()), ("dedup", mk(dedup_candidates=True))):
+        loader = Loader(ds, batch_size=2, shuffle=True, seed=1)
+        batches[name] = next(iter(loader))
+    assert batches["dedup"]["uniq_image_features"].shape[1] == 5
+    assert "image_features" not in batches["dedup"]
+
+    cfg = tiny_config(vocab_size=256, v_feature_size=2048,
+                      v_target_size=1601, ranking=True, traj_judge=True,
+                      masked_vision=True, masked_language=True)
+    args = _ytb_args(skeleton_path=ytb_env["skeleton_path"],
+                     sparse_vision_targets=True, traj_judge=True,
+                     learning_rate=1e-3)
+    params = init_lily_params(jax.random.PRNGKey(0), cfg)
+    state, tx, _ = ts.create_train_state(params, args, 4)
+    step = jax.jit(ts.build_train_step(cfg, args, tx))
+    metrics = {}
+    for name, batch in batches.items():
+        _, metrics[name] = step(state, batch, jax.random.PRNGKey(7))
+    for k in metrics["dense"]:
+        np.testing.assert_allclose(float(metrics["dedup"][k]),
+                                   float(metrics["dense"][k]),
+                                   rtol=1e-5, atol=1e-6, err_msg=k)
+    reader.close()
+
+
+def test_dedup_requires_sparse_targets():
+    with pytest.raises(ValueError, match="sparse_vision_targets"):
+        _ytb_args(dedup_candidates=True).validate()

@@ -147,6 +147,45 @@ def test_resume(env):
     assert "ranking" in best
 
 
+def test_dedup_candidates_entry(env):
+    """--dedup_candidates --sparse_vision_targets through the full
+    pretrain CLI (dedup transport + in-graph expansion end to end)."""
+    from conftest import load_entry
+    pretrain = load_entry('pretrain')
+    best = pretrain.main(common_flags(env) + [
+        "--pre_dataset", "ytb", "--prefix", "merge+",
+        "--masked_vision", "--masked_language", "--ranking",
+        "--sparse_vision_targets", "--dedup_candidates",
+        "--save_name", "dedup", "--save_epochs", "1"])
+    assert "ranking" in best and 0.0 <= best["ranking"] <= 1.0
+
+
+def test_orbax_checkpoints_entry_and_resume(env):
+    """--orbax_checkpoints saves sharded checkpoints from the engine (no
+    host-0 gather, no torch format) and --resume restores from the
+    .orbax directory (VERDICT r2 item 4)."""
+    from conftest import load_entry
+    from youtube_vln_tpu.training import checkpoint as ckpt
+    pretrain = load_entry('pretrain')
+    best = pretrain.main(common_flags(env) + [
+        "--pre_dataset", "ytb", "--prefix", "merge+", "--ranking",
+        "--save_name", "orb", "--save_epochs", "1", "--orbax_checkpoints"])
+    assert "ranking" in best
+    result_dir = Path(env["root"]) / "result" / "orb"
+    orbax_dirs = sorted((result_dir / "data").glob("*.orbax"))
+    assert orbax_dirs, "no .orbax checkpoints written"
+    target = next(d for d in orbax_dirs if d.name == "1.orbax")
+    assert ckpt.is_orbax_checkpoint(target)
+
+    best2 = pretrain.main(common_flags(env) + [
+        "--pre_dataset", "ytb", "--prefix", "merge+", "--ranking",
+        "--save_name", "orb_res", "--save_epochs", "1", "--resume",
+        "--orbax_checkpoints", "--from_pretrained", str(target)])
+    # resumed at epoch 2 with num_epochs=2 -> loop exits immediately but
+    # the restore path (sharded template, step/epoch) ran
+    assert "ranking" in best2
+
+
 def test_profile_dir_writes_traces(env, tmp_path):
     """--profile_dir produces jax.profiler trace files (SURVEY §5: the
     reference has no tracing; this must not crash on short epochs)."""

@@ -252,6 +252,13 @@ class RunConfig:
     sparse_vision_targets: bool = False  # ship only masked-region target
                                          # rows (~10x smaller) and compute
                                          # the KL on gathered rows in-graph
+    dedup_candidates: bool = False  # ship each unique trajectory's visual
+                                    # rows once per sample (positive +
+                                    # caption-negatives share them) plus a
+                                    # per-candidate gather index; expanded
+                                    # in-graph.  Cuts visual H2D/collate
+                                    # ~29% at num_negatives=2.  Requires
+                                    # sparse_vision_targets.
     sparse_task_heads: bool = True  # run the MLM / masked-vision decoders
                                     # only on positions that carry targets
                                     # (loss-exact; the dense heads waste
@@ -260,6 +267,10 @@ class RunConfig:
     remat: bool = False
     profile_dir: str = ""
     host_prefetch: int = 2
+    orbax_checkpoints: bool = False  # sharded multi-host-safe checkpoints
+                                     # (every host writes its own shards);
+                                     # the default .bin path gathers to
+                                     # host 0 for reference interop
 
     def validate(self) -> None:
         """Reference ``utils/utils_init.py:13-23`` (val_args)."""
@@ -274,3 +285,8 @@ class RunConfig:
             raise ValueError(
                 "when finetuning, traj_judge requires matching "
                 "--shuffle_visual_features usage")
+        if self.dedup_candidates and not self.sparse_vision_targets:
+            raise ValueError(
+                "--dedup_candidates requires --sparse_vision_targets "
+                "(dense [nc, S, 1601] vision targets would repay the "
+                "transport saving)")

@@ -35,6 +35,7 @@ from .nav_graph import get_headings, load_distances, load_nav_graphs
 from ..ops.masking import (
     max_masked_regions,
     randomize_regions_np,
+    randomize_regions_sparse_dedup_np,
     randomize_regions_sparse_np,
     randomize_tokens_np,
     unmasked_region_targets,
@@ -124,6 +125,8 @@ class PretrainDataset:
         self.io_dtype = np.dtype(getattr(args, "io_dtype", "float32"))
         self.sparse_vision_targets = getattr(args, "sparse_vision_targets",
                                              False)
+        self.dedup_candidates = bool(getattr(args, "dedup_candidates",
+                                             False))
 
         captions = self.load_captions(caption_path)
         self.caption_by_key = {self.caption_key(c): c for c in captions}
@@ -229,20 +232,51 @@ class PretrainDataset:
 
     def _finalize(self, instructions, feats, positive, order_labels):
         nc = len(instructions)
+        dedup = self.dedup_candidates
+        cand_map: List[int] = []
+        if dedup:
+            # candidates sharing a trajectory hold the SAME feature tuple
+            # object (see __getitem__: feats.append(feats[0])); ship each
+            # unique trajectory once + a per-candidate gather index, and
+            # let the train step expand in-graph (ranking mode: 5 unique
+            # of 7 candidates -> ~29% less visual transport)
+            uniq, seen = [], {}
+            for f in feats:
+                key = id(f)
+                if key not in seen:
+                    seen[key] = len(uniq)
+                    uniq.append(f)
+                cand_map.append(seen[key])
+            src = uniq
+        else:
+            src = feats
         # stack features straight into the transport dtype: one fused
         # cast-copy instead of an f32 stack + a second astype pass (the
         # two passes were ~25% of item assembly time at full geometry)
-        image_features = np.stack([f[0] for f in feats],
+        image_features = np.stack([f[0] for f in src],
                                   dtype=self.io_dtype)
-        image_locations = np.stack([f[1] for f in feats])
-        image_probs = np.stack([f[2] for f in feats])
-        image_mask = np.stack([f[3] for f in feats])
+        image_locations = np.stack([f[1] for f in src])
+        image_probs = np.stack([f[2] for f in src])
+        image_mask = np.stack([f[3] for f in src])
         instr_tokens = np.asarray(instructions, np.int32)
         instr_mask = (instr_tokens > 0).astype(np.int32)
         segment_ids = np.zeros_like(instr_tokens)
 
         image_targets_idx = None
-        if self.masked_vision and self.sparse_vision_targets:
+        feature_zero_mask = None
+        if dedup:
+            s_v = image_mask.shape[-1]
+            m_cap = max_masked_regions(s_v)
+            if self.masked_vision:
+                (feature_zero_mask, image_targets_idx, image_targets,
+                 image_targets_mask) = randomize_regions_sparse_dedup_np(
+                    image_probs, image_mask, cand_map, self.np_rng)
+            else:
+                image_targets_idx = np.full((nc, m_cap), s_v, np.int32)
+                image_targets = np.zeros(
+                    (nc, m_cap, image_probs.shape[-1]), image_probs.dtype)
+                image_targets_mask = np.zeros((nc, s_v), image_mask.dtype)
+        elif self.masked_vision and self.sparse_vision_targets:
             (image_features, image_targets_idx, image_targets,
              image_targets_mask) = randomize_regions_sparse_np(
                 image_features, image_probs, image_mask, self.np_rng,
@@ -288,11 +322,21 @@ class PretrainDataset:
             ranking_target[0] = 1
 
         image_features = image_features.astype(self.io_dtype, copy=False)
+        if dedup:
+            visual = dict(
+                uniq_image_features=image_features,
+                uniq_image_locations=image_locations,
+                uniq_image_mask=image_mask,
+                cand_index=np.asarray(cand_map, np.int32))
+            if feature_zero_mask is not None:
+                visual["feature_zero_mask"] = feature_zero_mask
+        else:
+            visual = dict(image_features=image_features,
+                          image_locations=image_locations,
+                          image_mask=image_mask)
         return dict(
             ranking_target=ranking_target,
-            image_features=image_features,
-            image_locations=image_locations,
-            image_mask=image_mask,
+            **visual,
             image_targets=image_targets.astype(self.io_dtype, copy=False),
             **({"image_targets_idx": image_targets_idx}
                if image_targets_idx is not None else {}),

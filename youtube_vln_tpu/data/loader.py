@@ -147,17 +147,24 @@ def shard_indices(n: int, *, shuffle: bool, seed: int, epoch: int,
 BATCH_KEYS = ("ranking_target", "image_features", "image_locations",
               "image_mask", "image_targets", "image_targets_mask",
               "image_targets_idx", "instr_tokens", "instr_mask",
-              "instr_targets", "segment_ids", "opt_mask")
+              "instr_targets", "segment_ids", "opt_mask",
+              # candidate-dedup transport (datasets.py:_finalize dedup
+              # branch): uniq_* arrays carry one row per UNIQUE trajectory
+              # (a per-dataset constant < nc), the others stay per-candidate
+              "uniq_image_features", "uniq_image_locations",
+              "uniq_image_mask", "cand_index", "feature_zero_mask")
 
 
 def collate(samples: Sequence[Dict[str, np.ndarray]], nc: int,
             with_instr_id: bool = False) -> Dict[str, np.ndarray]:
     """Stack items into [bs, nc, ...] batch arrays, zero-padding the
     candidate dim (opt_mask marks the real rows; scalar ranking_target
-    stays [bs]).  Each key fills ONE batch allocation directly — a
-    pad-per-item-then-stack route costs two copies and ~bs allocations
-    per key, which dominated the feed rate at the flagship item size
-    (see scripts/bench_loader.py)."""
+    stays [bs]).  ``uniq_*`` keys pad dim 0 to the first item's unique
+    count instead of nc (it is structurally constant per dataset).  Each
+    key fills ONE batch allocation directly — a pad-per-item-then-stack
+    route costs two copies and ~bs allocations per key, which dominated
+    the feed rate at the flagship item size (see
+    scripts/bench_loader.py)."""
     bs = len(samples)
     first = samples[0]
     batch: Dict[str, np.ndarray] = {}
@@ -169,12 +176,13 @@ def collate(samples: Sequence[Dict[str, np.ndarray]], nc: int,
             batch[k] = np.stack([np.asarray(s[k]) for s in samples])
             continue
         dtype = bool if k == "opt_mask" else v0.dtype
-        arr = np.empty((bs, nc) + v0.shape[1:], dtype)
+        n0 = v0.shape[0] if k.startswith("uniq_") else nc
+        arr = np.empty((bs, n0) + v0.shape[1:], dtype)
         for i, s in enumerate(samples):
             v = np.asarray(s[k])
             cur = v.shape[0]
             arr[i, :cur] = v
-            if cur < nc:
+            if cur < n0:
                 arr[i, cur:] = 0
         batch[k] = arr
     if with_instr_id:

@@ -135,6 +135,54 @@ def max_masked_regions(num_regions: int) -> int:
     return (m + 7) // 8 * 8
 
 
+def randomize_regions_sparse_dedup_np(
+    probs_u: np.ndarray,
+    mask_u: np.ndarray,
+    cand_map: Sequence[int],
+    rng: np.random.Generator,
+):
+    """Per-candidate MVM masking over DEDUPLICATED visual rows.
+
+    Candidates that share a trajectory (positive + caption-negatives,
+    datasets.py:213-215) ship their 2048-d feature rows once; masking is
+    still drawn independently per candidate (matching the reference, which
+    masks after stacking).  Instead of corrupting per-candidate feature
+    copies, this returns the zero-mask so the train step can apply the
+    corruption in-graph after the gather-expand.
+
+    probs_u/mask_u are [n_unique, S(, C)]; cand_map[j] is candidate j's
+    row in the unique arrays.  Draw order matches
+    randomize_regions_sparse_np exactly (one uniform per candidate-region,
+    drawn as a single [nc, S] block), so with the same RNG state the
+    dedup and dense paths select identical masks.
+
+    Returns (feature_zero_mask [nc, S] u8, idx [nc, M] i32,
+             rows [nc, M, C], targets_mask [nc, S])."""
+    nc = len(cand_map)
+    s = mask_u.shape[1]
+    m_cap = max_masked_regions(s)
+    targets_mask = np.zeros((nc, s), mask_u.dtype)
+    zero_mask = np.zeros((nc, s), np.uint8)
+    idx = np.full((nc, m_cap), s, np.int32)
+    rows = np.zeros((nc, m_cap, probs_u.shape[-1]), probs_u.dtype)
+
+    p = rng.random((nc, s))
+    for j, u in enumerate(cand_map):
+        pj = p[j] * (mask_u[u] > 0)
+        sel = pj >= MASK_THRESH
+        extra = sel.sum() - m_cap
+        if extra > 0:  # >8-sigma guard, same policy as the dense variant
+            on = np.nonzero(sel)[0]
+            sel[on[m_cap:]] = False
+            pj[on[m_cap:]] = 0.0
+        targets_mask[j, sel] = 1
+        zero_mask[j] = pj >= ZERO_THRESH
+        on = np.nonzero(sel)[0]
+        idx[j, : len(on)] = on
+        rows[j, : len(on)] = probs_u[u, on]
+    return zero_mask, idx, rows, targets_mask
+
+
 def randomize_regions_sparse_np(
     features: np.ndarray,
     probs: np.ndarray,

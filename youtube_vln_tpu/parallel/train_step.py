@@ -48,6 +48,36 @@ def create_train_state(params, args: RunConfig, steps_per_epoch: int):
     return TrainState(params, opt_state, jnp.zeros((), jnp.int32)), tx, schedule
 
 
+def _expand_dedup(batch: Dict[str, jnp.ndarray]):
+    """Candidate-dedup transport -> per-candidate visual arrays.
+
+    The loader ships each unique trajectory's visual rows once
+    (``uniq_image_*`` [B, n_u, ...]) plus ``cand_index`` [B, nc]; the
+    gather-expand runs here, on device, so the duplicated rows never
+    cross H2D or the host collate (datasets.py:_finalize dedup branch).
+    ``feature_zero_mask`` applies the MVM 90%-of-masked feature zeroing
+    (ops/masking.py:randomize_regions_sparse_dedup_np) to the expanded
+    copies — per candidate, exactly as the dense path corrupts its
+    per-candidate copies on the host."""
+    if "uniq_image_features" not in batch:
+        return batch
+    idx = batch["cand_index"]  # [B, nc] int32
+
+    def gather(x):
+        full_idx = idx.reshape(idx.shape + (1,) * (x.ndim - 2))
+        return jnp.take_along_axis(x, full_idx.astype(jnp.int32), axis=1)
+
+    feats = gather(batch["uniq_image_features"])
+    if "feature_zero_mask" in batch:
+        keep = (batch["feature_zero_mask"] == 0)[..., None]
+        feats = feats * keep.astype(feats.dtype)
+    out = dict(batch)
+    out["image_features"] = feats
+    out["image_locations"] = gather(batch["uniq_image_locations"])
+    out["image_mask"] = gather(batch["uniq_image_mask"])
+    return out
+
+
 def _flatten_candidates(batch: Dict[str, jnp.ndarray]):
     """[B, nc, ...] -> [B*nc, ...] for the model inputs."""
     def flat(x):
@@ -103,6 +133,7 @@ def fast_dropout_key(key):
 
 
 def loss_fn(params, cfg: LilyConfig, batch, tasks, rng, train: bool):
+    batch = _expand_dedup(batch)
     flat = _flatten_candidates(batch)
     instr_targets = _merge01(batch["instr_targets"])
     sparse_heads = tasks.get("sparse_task_heads", False)

@@ -151,10 +151,20 @@ def get_parser() -> argparse.ArgumentParser:
                           "compute; loss-identical, slower")
     tpu.add_argument("--sparse_vision_targets", action="store_true",
                      default=False)
+    tpu.add_argument("--dedup_candidates", action="store_true",
+                     default=False,
+                     help="ship shared candidate trajectories' visual rows "
+                          "once per sample + a gather index (expanded "
+                          "in-graph); needs --sparse_vision_targets")
     tpu.add_argument("--no_pallas", action="store_true", default=False)
     tpu.add_argument("--remat", action="store_true", default=False)
     tpu.add_argument("--profile_dir", default="", type=str)
     tpu.add_argument("--host_prefetch", default=2, type=int)
+    tpu.add_argument("--orbax_checkpoints", action="store_true",
+                     default=False,
+                     help="save sharded Orbax checkpoints (multi-host "
+                          "safe, no host-0 gather) instead of reference-"
+                          "interop torch .bin files")
     return p
 
 
