@@ -10,8 +10,10 @@ Steps and their homes:
   4  TSV -> feature-store conversion        -> detector.py
   5a indoor filter (WideResNet-18 Places365
        in JAX, torch-weight import)         -> places365.py + filters.py
-  5b person filter artifacts                -> filters.py (pluggable scorer;
-       the Mask-RCNN weights are external)
+  5b person filter                          -> maskrcnn.py (ResNet-50-FPN
+       detector in JAX, torchvision-parity) + filters.py (smoothing,
+       artifacts, run_maskrcnn_filter driver; COCO weights are an
+       external asset, imported via params_from_torch_state_dict)
   6  CLIP ViT-B/32 encoders (JAX, HF-weight
        import) + zero-shot captions         -> clip_model.py +
                                                clip_captions.py

@@ -168,6 +168,50 @@ def run_indoor_filter(frames_dir, out_dir, params, labels_io,
     return n_videos
 
 
+def run_maskrcnn_filter(frames_dir, out_dir, alexnet_params,
+                        is_indoor_class, detector,
+                        image_loader=None, batch_size: int = 32) -> int:
+    """Step 5b end-to-end (reference ``filter_outdoor_maskrcnn_coco.py:
+    158-180``): per video — skipping videos whose artifact already exists,
+    the reference's resume semantics — score every frame's indoor
+    probability (``classify_indoors``: AlexNet-Places365 top-10 vote,
+    pipeline/places365.py:alexnet_indoor_probs) and person flag
+    (``classify_person``: Mask-RCNN top-5 labels,
+    pipeline/maskrcnn.py:MaskRCNNDetector), smooth both signals
+    (gaussian sigma 6 / rolling window 6) and write the
+    indoor_locs/person_locs artifact.  Returns videos processed."""
+    from .places365 import alexnet_indoor_probs
+
+    if image_loader is None:
+        def image_loader(p):
+            from PIL import Image
+            return np.asarray(Image.open(p).convert("RGB"))
+
+    out_dir = Path(out_dir)
+    n_videos = 0
+    for vid_dir in sorted(Path(frames_dir).iterdir()):
+        if not vid_dir.is_dir():
+            continue
+        vid = vid_dir.name
+        if (out_dir / vid / f"{vid}.json").exists() \
+                or (out_dir / vid / f"{vid}.npy").exists():
+            continue  # reference resume (:173)
+        frames = sorted(vid_dir.glob("*.jpg"))
+        images = [image_loader(p) for p in frames]
+        indoor = alexnet_indoor_probs(
+            alexnet_params, np.stack(images) if images else
+            np.zeros((0, 224, 224, 3), np.uint8),
+            np.asarray(is_indoor_class), batch_size=batch_size)
+        person = [detector.classify_person(img) for img in images]
+        data = filter_frames(indoor, person, [p.name for p in frames])
+        d = out_dir / vid
+        d.mkdir(parents=True, exist_ok=True)
+        with open(d / f"{vid}.json", "w") as f:
+            json.dump(data, f)
+        n_videos += 1
+    return n_videos
+
+
 def write_maskrcnn_filters(out_dir, video_id: str,
                            indoor_frames: Sequence[int],
                            person_frames: Sequence[int]) -> Path:
