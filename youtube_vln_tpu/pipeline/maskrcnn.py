@@ -488,10 +488,13 @@ class MaskRCNNDetector:
         if img.max() > 1.5:
             img = img / 255.0
         img = (img - IMAGENET_MEAN) / IMAGENET_STD
+        orig_hw = img.shape[:2]
         if resize:
-            h, w = img.shape[:2]
+            h, w = orig_hw
             scale = min(self.min_size / min(h, w), self.max_size / max(h, w))
-            nh, nw = int(round(h * scale)), int(round(w * scale))
+            # floor sizing: F.interpolate(scale_factor=...,
+            # recompute_scale_factor=True) produces floor(in * scale)
+            nh, nw = int(h * scale), int(w * scale)
             img = np.asarray(jax.image.resize(
                 jnp.asarray(img), (nh, nw, 3), method="linear"))
         # pad to stride-32 multiples (batch of one)
@@ -500,7 +503,7 @@ class MaskRCNNDetector:
         pw = -(-w // 32) * 32
         padded = np.zeros((ph, pw, 3), np.float32)
         padded[:h, :w] = img
-        return padded, (h, w)
+        return padded, (h, w), orig_hw
 
     def _proposals(self, levels, image_hw, padded_hw):
         """torchvision RegionProposalNetwork.filter_proposals."""
@@ -552,7 +555,7 @@ class MaskRCNNDetector:
         return pooled
 
     def detect(self, image: np.ndarray, resize: bool = True) -> Dict:
-        img, image_hw = self._preprocess(image, resize)
+        img, image_hw, orig_hw = self._preprocess(image, resize)
         feats = self._backbone(self.params, jnp.asarray(img)[None])
         levels = self._rpn(self.params, feats)
         proposals = self._proposals(levels, image_hw, img.shape[:2])
@@ -593,7 +596,13 @@ class MaskRCNNDetector:
             np.zeros((0,), np.int64)
         keep = batched_nms(boxes, scores, labels, BOX_NMS_THRESH)
         keep = keep[:DETECTIONS_PER_IMG]
-        return {"boxes": boxes[keep].astype(np.float32),
+        boxes = boxes[keep].astype(np.float32)
+        if image_hw != orig_hw:
+            # transform.postprocess: boxes back to ORIGINAL image coords
+            boxes = boxes * np.asarray(
+                [orig_hw[1] / image_hw[1], orig_hw[0] / image_hw[0]] * 2,
+                np.float32)
+        return {"boxes": boxes,
                 "labels": labels[keep],
                 "scores": scores[keep].astype(np.float32)}
 
