@@ -41,7 +41,8 @@ def _forced_attention_fn(q, k, v, mask, *, dropout_rate=0.0, rng=None,
                           rng=rng, train=train)
 
 
-def test_flagship_geometry_compiles_on_two_device_mesh(monkeypatch):
+@pytest.mark.parametrize("dedup", [False, True], ids=["dense", "dedup"])
+def test_flagship_geometry_compiles_on_two_device_mesh(monkeypatch, dedup):
     if len(jax.devices()) < 2:
         pytest.skip("needs >=2 devices")
 
@@ -66,7 +67,8 @@ def test_flagship_geometry_compiles_on_two_device_mesh(monkeypatch):
                      masked_language=True, pretrain=True,
                      learning_rate=2e-5, num_epochs=1,
                      gradient_accumulation_steps=1,
-                     sparse_vision_targets=True)
+                     sparse_vision_targets=True,
+                     dedup_candidates=dedup)
 
     mesh = make_mesh((2, 1), devices=jax.devices()[:2])
     params = init_lily_params(jax.random.PRNGKey(0), cfg)
@@ -82,15 +84,27 @@ def test_flagship_geometry_compiles_on_two_device_mesh(monkeypatch):
         "instr_mask": ((bs, nc, s_t), jnp.int32),
         "segment_ids": ((bs, nc, s_t), jnp.int32),
         "instr_targets": ((bs, nc, s_t), jnp.int32),
-        "image_features": ((bs, nc, s_v, 2048), jnp.float32),
-        "image_locations": ((bs, nc, s_v, 12), jnp.float32),
-        "image_mask": ((bs, nc, s_v), jnp.int32),
         "image_targets": ((bs, nc, m_cap, cfg.v_target_size), jnp.float32),
         "image_targets_idx": ((bs, nc, m_cap), jnp.int32),
         "image_targets_mask": ((bs, nc, s_v), jnp.int32),
         "opt_mask": ((bs, nc), jnp.bool_),
         "ranking_target": ((bs,), jnp.int32),
     }
+    if dedup:
+        n_u = nc - 2  # positive + 2 caption-negatives share rows
+        batch_shapes.update({
+            "uniq_image_features": ((bs, n_u, s_v, 2048), jnp.float32),
+            "uniq_image_locations": ((bs, n_u, s_v, 12), jnp.float32),
+            "uniq_image_mask": ((bs, n_u, s_v), jnp.int32),
+            "cand_index": ((bs, nc), jnp.int32),
+            "feature_zero_mask": ((bs, nc, s_v), jnp.uint8),
+        })
+    else:
+        batch_shapes.update({
+            "image_features": ((bs, nc, s_v, 2048), jnp.float32),
+            "image_locations": ((bs, nc, s_v, 12), jnp.float32),
+            "image_mask": ((bs, nc, s_v), jnp.int32),
+        })
     template = {k: jnp.zeros(s, d) for k, (s, d) in batch_shapes.items()}
     bshard = ts.make_batch_shardings(mesh, template)
     abstract_batch = {
