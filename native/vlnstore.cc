@@ -13,6 +13,10 @@
 #include <unordered_map>
 #include <vector>
 
+#if defined(__F16C__)
+#include <immintrin.h>
+#endif
+
 #include <fcntl.h>
 #include <sys/mman.h>
 #include <sys/stat.h>
@@ -173,28 +177,64 @@ bool view_record(const Handle* h, const char* key, RecView* out) {
 
 }  // namespace
 
-// Pack one path of n_steps step groups into preallocated buffers shaped
-// [max_steps * max_boxes, {2048 | 12 | 1601}] (+ int32 mask
-// [max_steps * max_boxes]).  Step i reads keys
-// keys[key_offsets[i] .. key_offsets[i+1]); its regions are the synthesized
-// global region (mean feature, location [0,0,1,1,1,1..], uniform probs)
-// followed by the concatenated per-photo regions, truncated to max_boxes
-// and zero-padded; location column 11 carries the step index for ALL rows
-// (datasets.py pad_step).  Steps beyond n_steps are zeroed except col 11.
-// Returns 0 on success, -1 on a missing key.
-int vlnstore_pack_path(void* handle, const char** keys,
-                       const int64_t* key_offsets, int n_steps,
-                       int max_steps, int max_boxes, float* feats,
-                       float* locs, float* probs, int32_t* mask) {
+// f32 -> IEEE f16 with round-to-nearest-even, bit-matching numpy's
+// astype(float16).  F16C (vcvtps2ph) on any x86-64 from ~2012 on; the
+// scalar fallback goes through the compiler's _Float16 conversion.
+#if defined(__F16C__)
+static void cvt_f32_to_f16(const float* src, uint16_t* dst, size_t n) {
+  size_t i = 0;
+  for (; i + 8 <= n; i += 8) {
+    __m128i half = _mm256_cvtps_ph(_mm256_loadu_ps(src + i),
+                                   _MM_FROUND_TO_NEAREST_INT);
+    _mm_storeu_si128(reinterpret_cast<__m128i*>(dst + i), half);
+  }
+  if (i < n) {  // tail via a padded 8-lane pass
+    float tmp[8] = {0};
+    uint16_t out8[8];
+    size_t rem = n - i;
+    std::memcpy(tmp, src + i, rem * sizeof(float));
+    __m128i half = _mm256_cvtps_ph(_mm256_loadu_ps(tmp),
+                                   _MM_FROUND_TO_NEAREST_INT);
+    _mm_storeu_si128(reinterpret_cast<__m128i*>(out8), half);
+    std::memcpy(dst + i, out8, rem * sizeof(uint16_t));
+  }
+}
+#else
+static void cvt_f32_to_f16(const float* src, uint16_t* dst, size_t n) {
+  for (size_t i = 0; i < n; ++i) {
+    _Float16 half = static_cast<_Float16>(src[i]);
+    std::memcpy(dst + i, &half, sizeof(half));
+  }
+}
+#endif
+
+namespace {
+
+// Shared body of the path packers.  Exactly one of feats32/feats16 is
+// non-null; probs may be null (skipped — the dedup transport gathers
+// target rows on demand via vlnstore_gather_probs instead of
+// materializing the [S, 1601] block).
+int pack_path_impl(void* handle, const char** keys,
+                   const int64_t* key_offsets, int n_steps, int max_steps,
+                   int max_boxes, float* feats32, uint16_t* feats16,
+                   float* locs, float* probs, int32_t* mask) {
   auto* h = static_cast<Handle*>(handle);
   for (int step = 0; step < max_steps; ++step) {
-    float* f = feats + (size_t)step * max_boxes * kFeatDim;
+    float* f32 = feats32
+        ? feats32 + (size_t)step * max_boxes * kFeatDim : nullptr;
+    uint16_t* f16 = feats16
+        ? feats16 + (size_t)step * max_boxes * kFeatDim : nullptr;
     float* l = locs + (size_t)step * max_boxes * kLocDim;
-    float* pr = probs + (size_t)step * max_boxes * kProbDim;
+    float* pr = probs
+        ? probs + (size_t)step * max_boxes * kProbDim : nullptr;
     int32_t* m = mask + (size_t)step * max_boxes;
-    std::memset(f, 0, sizeof(float) * (size_t)max_boxes * kFeatDim);
+    if (f32)
+      std::memset(f32, 0, sizeof(float) * (size_t)max_boxes * kFeatDim);
+    if (f16)
+      std::memset(f16, 0, sizeof(uint16_t) * (size_t)max_boxes * kFeatDim);
     std::memset(l, 0, sizeof(float) * (size_t)max_boxes * kLocDim);
-    std::memset(pr, 0, sizeof(float) * (size_t)max_boxes * kProbDim);
+    if (pr)
+      std::memset(pr, 0, sizeof(float) * (size_t)max_boxes * kProbDim);
     std::memset(m, 0, sizeof(int32_t) * (size_t)max_boxes);
     for (int b = 0; b < max_boxes; ++b) l[b * kLocDim + 11] = (float)step;
     if (step >= n_steps) continue;
@@ -220,25 +260,35 @@ int vlnstore_pack_path(void* handle, const char** keys,
     if (total_k == 0) return -1;
 
     // region 0: the synthesized global region
+    static thread_local std::vector<float> mean_row;
+    mean_row.resize(kFeatDim);
     for (int c = 0; c < kFeatDim; ++c)
-      f[c] = (float)(acc[c] / (double)total_k);
+      mean_row[c] = (float)(acc[c] / (double)total_k);
+    if (f32) std::memcpy(f32, mean_row.data(), sizeof(float) * kFeatDim);
+    if (f16) cvt_f32_to_f16(mean_row.data(), f16, kFeatDim);
     // [0,0,1,1,1, sin0,cos0, sin0,cos0, sin0,cos0] — the synthesized
     // global region's location (features_reader.py:102, reference :171)
     l[0] = 0.0f; l[1] = 0.0f; l[2] = 1.0f; l[3] = 1.0f; l[4] = 1.0f;
     l[5] = 0.0f; l[6] = 1.0f; l[7] = 0.0f; l[8] = 1.0f;
     l[9] = 0.0f; l[10] = 1.0f;
     l[11] = (float)step;
-    const float uniform = 1.0f / (float)kProbDim;
-    for (int c = 0; c < kProbDim; ++c) pr[c] = uniform;
+    if (pr) {
+      const float uniform = 1.0f / (float)kProbDim;
+      for (int c = 0; c < kProbDim; ++c) pr[c] = uniform;
+    }
     m[0] = 1;
 
     // remaining rows: concatenated photo regions, truncated at max_boxes
     int row = 1;
     for (const RecView& v : views) {
       for (uint32_t r = 0; r < v.k && row < max_boxes; ++r, ++row) {
-        std::memcpy(f + (size_t)row * kFeatDim,
-                    v.features + (size_t)r * kFeatDim,
-                    sizeof(float) * kFeatDim);
+        if (f32)
+          std::memcpy(f32 + (size_t)row * kFeatDim,
+                      v.features + (size_t)r * kFeatDim,
+                      sizeof(float) * kFeatDim);
+        if (f16)
+          cvt_f32_to_f16(v.features + (size_t)r * kFeatDim,
+                         f16 + (size_t)row * kFeatDim, kFeatDim);
         const float* box = v.boxes + (size_t)r * kBoxDim;
         float* lr = l + (size_t)row * kLocDim;
         lr[0] = box[0] / v.w;
@@ -248,12 +298,93 @@ int vlnstore_pack_path(void* handle, const char** keys,
         lr[4] = (box[2] - box[0]) * (box[3] - box[1]) / (v.w * v.h);
         for (int c = 5; c < 11; ++c) lr[c] = 1.0f;
         lr[11] = (float)step;
-        std::memcpy(pr + (size_t)row * kProbDim,
-                    v.probs + (size_t)r * kProbDim,
-                    sizeof(float) * kProbDim);
+        if (pr)
+          std::memcpy(pr + (size_t)row * kProbDim,
+                      v.probs + (size_t)r * kProbDim,
+                      sizeof(float) * kProbDim);
         m[row] = 1;
       }
       if (row >= max_boxes) break;
+    }
+  }
+  return 0;
+}
+
+}  // namespace
+
+// Pack one path of n_steps step groups into preallocated buffers shaped
+// [max_steps * max_boxes, {2048 | 12 | 1601}] (+ int32 mask
+// [max_steps * max_boxes]).  Step i reads keys
+// keys[key_offsets[i] .. key_offsets[i+1]); its regions are the synthesized
+// global region (mean feature, location [0,0,1,1,1,1..], uniform probs)
+// followed by the concatenated per-photo regions, truncated to max_boxes
+// and zero-padded; location column 11 carries the step index for ALL rows
+// (datasets.py pad_step).  Steps beyond n_steps are zeroed except col 11.
+// probs may be NULL (skipped).  Returns 0 on success, -1 on a missing key.
+int vlnstore_pack_path(void* handle, const char** keys,
+                       const int64_t* key_offsets, int n_steps,
+                       int max_steps, int max_boxes, float* feats,
+                       float* locs, float* probs, int32_t* mask) {
+  return pack_path_impl(handle, keys, key_offsets, n_steps, max_steps,
+                        max_boxes, feats, nullptr, locs, probs, mask);
+}
+
+// f16-feature variant for the dedup transport: features are written as
+// IEEE half (the H2D dtype) straight from the store — one converting
+// copy instead of an f32 copy plus a python-side cast — and probs are
+// not materialized at all (use vlnstore_gather_probs for target rows).
+int vlnstore_pack_path_f16(void* handle, const char** keys,
+                           const int64_t* key_offsets, int n_steps,
+                           int max_steps, int max_boxes, uint16_t* feats,
+                           float* locs, int32_t* mask) {
+  return pack_path_impl(handle, keys, key_offsets, n_steps, max_steps,
+                        max_boxes, nullptr, feats, locs, nullptr, mask);
+}
+
+// Gather class-probability rows for specific packed-region ids of a path
+// (region id = step * max_boxes + box, the row index pack_path would
+// have used).  Box 0 is the synthesized uniform row; out-of-range ids
+// (padded steps / truncated boxes) come back zeroed.  ids SHOULD be
+// ascending (per-step record views are rebuilt when the step changes).
+// out is [n_ids, 1601].  Returns 0 on success, -1 on a missing key.
+int vlnstore_gather_probs(void* handle, const char** keys,
+                          const int64_t* key_offsets, int n_steps,
+                          int max_boxes, const int32_t* region_ids,
+                          int n_ids, float* out) {
+  auto* h = static_cast<Handle*>(handle);
+  static thread_local std::vector<RecView> views;
+  int cached_step = -1;
+  for (int i = 0; i < n_ids; ++i) {
+    float* dst = out + (size_t)i * kProbDim;
+    std::memset(dst, 0, sizeof(float) * kProbDim);
+    int id = region_ids[i];
+    if (id < 0) continue;
+    int step = id / max_boxes;
+    int box = id % max_boxes;
+    if (step >= n_steps) continue;
+    if (box == 0) {
+      const float uniform = 1.0f / (float)kProbDim;
+      for (int c = 0; c < kProbDim; ++c) dst[c] = uniform;
+      continue;
+    }
+    if (step != cached_step) {
+      views.clear();
+      for (int64_t k = key_offsets[step]; k < key_offsets[step + 1]; ++k) {
+        RecView v;
+        if (!view_record(h, keys[k], &v)) return -1;
+        views.push_back(v);
+      }
+      cached_step = step;
+    }
+    // (box - 1)-th concatenated region across the step's records
+    uint32_t want = (uint32_t)(box - 1);
+    for (const RecView& v : views) {
+      if (want < v.k) {
+        std::memcpy(dst, v.probs + (size_t)want * kProbDim,
+                    sizeof(float) * kProbDim);
+        break;
+      }
+      want -= v.k;
     }
   }
   return 0;

@@ -151,6 +151,15 @@ def main():
     traj = ns.batch_size * nc
     e2e_rate = traj / dt_e2e
     dev_rate = traj / dt_dev
+    # Gap attribution: everything that is not the device step is host
+    # assembly + collate + transport.  On a TUNNELED runtime (axon) the
+    # transport term dominates: the per-batch bytes cross a network link
+    # at ~50-60 MB/s, so the effective link rate below explains the gap
+    # almost entirely (measured: assembly is ~24 ms/item via
+    # bench_loader, yet e2e steps cost seconds).  On a real TPU host
+    # (local PCIe H2D) the same loop is assembly-bound instead — use
+    # bench_loader's per-worker rate for sizing there.
+    overhead_s = max(dt_e2e - dt_dev, 1e-9)
     print(json.dumps({
         "metric": "e2e_train_traj_per_s_per_chip",
         "value": round(e2e_rate, 2),
@@ -158,6 +167,8 @@ def main():
         "detail": {
             "device_only_traj_per_s": round(dev_rate, 2),
             "host_bound_gap": round(1.0 - e2e_rate / dev_rate, 3),
+            "effective_transport_mb_s": round(
+                sample_bytes / 1e6 / overhead_s, 1),
             "e2e_step_ms": round(dt_e2e * 1000, 1),
             "device_step_ms": round(dt_dev * 1000, 1),
             "steps_timed": n_steps,

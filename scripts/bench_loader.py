@@ -31,6 +31,9 @@ def main():
     ap.add_argument("--sparse", action=argparse.BooleanOptionalAction,
                     default=True,
                     help="--no-sparse benches dense [S_v,1601] targets")
+    ap.add_argument("--dedup", action=argparse.BooleanOptionalAction,
+                    default=True,
+                    help="--no-dedup benches the per-candidate transport")
     ns = ap.parse_args()
 
     from youtube_vln_tpu.data import fixtures as F
@@ -43,7 +46,8 @@ def main():
     flagship = dict(max_instruction_length=60, max_path_length=8,
                     max_num_boxes=101, min_path_length=4, min_captioned=2,
                     max_captioned=7,
-                    sparse_vision_targets=ns.sparse)
+                    sparse_vision_targets=ns.sparse,
+                    dedup_candidates=ns.dedup and ns.sparse)
     with tempfile.TemporaryDirectory() as root:
         t0 = time.perf_counter()
         paths = F.build_ytb_fixture(root, n_videos=32, frames_per_video=24,
@@ -104,6 +108,7 @@ def main():
             "num_workers": ns.num_workers,
             "native_packer": native,
             "sparse_vision_targets": ns.sparse,
+            "dedup_candidates": ns.dedup and ns.sparse,
             "fixture_build_s": round(build_s, 1),
         },
     }))

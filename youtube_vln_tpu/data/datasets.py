@@ -98,6 +98,33 @@ class _PathFeatureAssembler:
 # --------------------------------------------------------------------------- #
 # pretraining datasets
 # --------------------------------------------------------------------------- #
+class _LazyProbRows:
+    """Row-gatherable stand-in for a packed [S, 1601] probs array.
+
+    The dedup fast path never materializes per-region class probabilities
+    (a ~5 MB copy per trajectory); this adapter fetches exactly the rows
+    the MVM masking selected, via the native store gather
+    (store.py:gather_probs).  Supports the two operations
+    randomize_regions_sparse_dedup_np performs on a probs entry:
+    ``probs_u[u][row_indices]`` and ``probs_u[0].shape[-1]``."""
+
+    __slots__ = ("reader", "step_keys", "max_boxes")
+    shape = (0, PROB_DIM)
+    dtype = np.dtype(np.float32)
+
+    def __init__(self, reader, step_keys, max_boxes):
+        self.reader = reader
+        self.step_keys = step_keys
+        self.max_boxes = max_boxes
+
+    def __getitem__(self, region_ids):
+        out = self.reader.gather_probs(self.step_keys, region_ids,
+                                       self.max_boxes)
+        if out is None:  # native library vanished mid-run; stay correct
+            raise RuntimeError("native gather_probs unavailable")
+        return out
+
+
 class PretrainDataset:
     """Common machinery for YTb/BnB pretraining
     (reference BaseDataset, all_dataset.py:60-345)."""
@@ -187,6 +214,20 @@ class PretrainDataset:
                 photo_id = (photo_id,)
             step_keys.append(tuple(self.feature_key(listing_id, pid)
                                    for pid in photo_id))
+        if (self.dedup_candidates and self.io_dtype == np.float16
+                and getattr(self.reader, "pack_path_f16", None) is not None):
+            # dedup fast path: f16 features straight from the C packer
+            # (same round-to-nearest-even as numpy astype) and NO probs
+            # materialization — target rows are gathered post-masking
+            # (_LazyProbRows); cuts ~1/3 of item-assembly copy volume
+            packed = self.reader.pack_path_f16(
+                step_keys, self.args.max_path_length,
+                self.args.max_num_boxes)
+            if packed is not None:
+                f, l, m = packed
+                return (f, l,
+                        _LazyProbRows(self.reader, step_keys,
+                                      self.args.max_num_boxes), m)
         pack = getattr(self.reader, "pack_path", None)
         if pack is not None:
             packed = pack(step_keys, self.args.max_path_length,
@@ -256,7 +297,14 @@ class PretrainDataset:
         image_features = np.stack([f[0] for f in src],
                                   dtype=self.io_dtype)
         image_locations = np.stack([f[1] for f in src])
-        image_probs = np.stack([f[2] for f in src])
+        if dedup:
+            # never stack probs under dedup: the [n_u, S, 1601] f32 stack
+            # is a ~26 MB copy per item (measured 45% of item assembly
+            # lived in np.stack) and only ~120 gathered target rows are
+            # ever read from it
+            image_probs_list = [f[2] for f in src]
+        else:
+            image_probs = np.stack([f[2] for f in src])
         image_mask = np.stack([f[3] for f in src])
         instr_tokens = np.asarray(instructions, np.int32)
         instr_mask = (instr_tokens > 0).astype(np.int32)
@@ -270,11 +318,13 @@ class PretrainDataset:
             if self.masked_vision:
                 (feature_zero_mask, image_targets_idx, image_targets,
                  image_targets_mask) = randomize_regions_sparse_dedup_np(
-                    image_probs, image_mask, cand_map, self.np_rng)
+                    image_probs_list, image_mask, cand_map, self.np_rng,
+                    dtype=self.io_dtype)
             else:
                 image_targets_idx = np.full((nc, m_cap), s_v, np.int32)
                 image_targets = np.zeros(
-                    (nc, m_cap, image_probs.shape[-1]), image_probs.dtype)
+                    (nc, m_cap, image_probs_list[0].shape[-1]),
+                    self.io_dtype)
                 image_targets_mask = np.zeros((nc, s_v), image_mask.dtype)
         elif self.masked_vision and self.sparse_vision_targets:
             (image_features, image_targets_idx, image_targets,

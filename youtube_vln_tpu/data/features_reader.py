@@ -113,6 +113,12 @@ class RegionFeaturesReader(FeaturesReader):
         of per-step reads + numpy pad/concat).  Only when every key lives
         in one store shard and the C library is built; None -> caller uses
         the Python path."""
+        first = self._single_shard(step_keys)
+        if first is None:
+            return None  # spans shards (or empty): python fallback
+        return self._stores[first].pack_path(step_keys, max_steps, max_boxes)
+
+    def _single_shard(self, step_keys):
         first = None
         for keys in step_keys:
             for k in keys:
@@ -122,10 +128,27 @@ class RegionFeaturesReader(FeaturesReader):
                 if first is None:
                     first = idx
                 elif idx != first:
-                    return None  # spans shards: python fallback
+                    return None
+        return first
+
+    def pack_path_f16(self, step_keys, max_steps: int, max_boxes: int):
+        """Dedup-transport fast path: f16 features (the H2D dtype,
+        converted in C), no probs materialization (store.py:
+        pack_path_f16); None -> python fallback."""
+        first = self._single_shard(step_keys)
         if first is None:
             return None
-        return self._stores[first].pack_path(step_keys, max_steps, max_boxes)
+        return self._stores[first].pack_path_f16(step_keys, max_steps,
+                                                 max_boxes)
+
+    def gather_probs(self, step_keys, region_ids, max_boxes: int):
+        """Target-row gather matching pack_path's row layout; None ->
+        caller must use a materialized probs array."""
+        first = self._single_shard(step_keys)
+        if first is None:
+            return None
+        return self._stores[first].gather_probs(step_keys, region_ids,
+                                                max_boxes)
 
 
 class YTbFeaturesReader(RegionFeaturesReader):

@@ -152,6 +152,28 @@ def _load_native() -> Optional[ctypes.CDLL]:
             ctypes.POINTER(ctypes.c_float),
             ctypes.POINTER(ctypes.c_int32),
         ]
+    if hasattr(dll, "vlnstore_pack_path_f16"):
+        dll.vlnstore_pack_path_f16.restype = ctypes.c_int
+        dll.vlnstore_pack_path_f16.argtypes = [
+            ctypes.c_void_p,
+            ctypes.POINTER(ctypes.c_char_p),
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_uint16),
+            ctypes.POINTER(ctypes.c_float),
+            ctypes.POINTER(ctypes.c_int32),
+        ]
+    if hasattr(dll, "vlnstore_gather_probs"):
+        dll.vlnstore_gather_probs.restype = ctypes.c_int
+        dll.vlnstore_gather_probs.argtypes = [
+            ctypes.c_void_p,
+            ctypes.POINTER(ctypes.c_char_p),
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.c_int, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.c_int,
+            ctypes.POINTER(ctypes.c_float),
+        ]
     if hasattr(dll, "vlnstore_pack_pano_path"):
         dll.vlnstore_pack_pano_path.restype = ctypes.c_int
         dll.vlnstore_pack_pano_path.argtypes = [
@@ -292,6 +314,61 @@ class Store:
         if ret != 0:
             return None
         return f, l, p, m
+
+    def pack_path_f16(self, step_keys, max_steps: int, max_boxes: int):
+        """Dedup-transport variant of pack_path: features come back as
+        float16 (the H2D dtype, converted in C with the same
+        round-to-nearest-even as numpy astype) and probs are NOT
+        materialized — fetch target rows post-masking with
+        ``gather_probs``.  Returns (features_f16, locations, mask) or
+        None (python fallback)."""
+        if self._native is None or self._handle is None or \
+                not hasattr(self._native, "vlnstore_pack_path_f16"):
+            return None
+        flat = []
+        offsets = [0]
+        for keys in step_keys:
+            flat += [k.encode() for k in keys]
+            offsets.append(len(flat))
+        n_steps = len(step_keys)
+        keys_arr = (ctypes.c_char_p * len(flat))(*flat)
+        off_arr = (ctypes.c_int64 * len(offsets))(*offsets)
+        n = max_steps * max_boxes
+        f = np.empty((n, 2048), np.float16)
+        l = np.empty((n, 12), np.float32)
+        m = np.empty((n,), np.int32)
+        ret = self._native.vlnstore_pack_path_f16(
+            self._handle, keys_arr, off_arr, n_steps, max_steps, max_boxes,
+            f.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)),
+            l.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            m.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
+        if ret != 0:
+            return None
+        return f, l, m
+
+    def gather_probs(self, step_keys, region_ids, max_boxes: int):
+        """Class-probability rows for specific packed-region ids of a path
+        (row indices of the array pack_path would have produced); ids
+        should be ascending.  Returns [len(ids), 1601] f32 or None."""
+        if self._native is None or self._handle is None or \
+                not hasattr(self._native, "vlnstore_gather_probs"):
+            return None
+        flat = []
+        offsets = [0]
+        for keys in step_keys:
+            flat += [k.encode() for k in keys]
+            offsets.append(len(flat))
+        keys_arr = (ctypes.c_char_p * len(flat))(*flat)
+        off_arr = (ctypes.c_int64 * len(offsets))(*offsets)
+        ids = np.ascontiguousarray(region_ids, np.int32)
+        out = np.empty((len(ids), PROB_DIM), np.float32)
+        ret = self._native.vlnstore_gather_probs(
+            self._handle, keys_arr, off_arr, len(step_keys), max_boxes,
+            ids.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), len(ids),
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)))
+        if ret != 0:
+            return None
+        return out
 
     def pack_pano_path(self, keys, headings, next_headings, max_steps: int,
                        max_boxes: int):

@@ -136,10 +136,11 @@ def max_masked_regions(num_regions: int) -> int:
 
 
 def randomize_regions_sparse_dedup_np(
-    probs_u: np.ndarray,
+    probs_u: Sequence[np.ndarray],
     mask_u: np.ndarray,
     cand_map: Sequence[int],
     rng: np.random.Generator,
+    dtype=None,
 ):
     """Per-candidate MVM masking over DEDUPLICATED visual rows.
 
@@ -150,11 +151,16 @@ def randomize_regions_sparse_dedup_np(
     copies, this returns the zero-mask so the train step can apply the
     corruption in-graph after the gather-expand.
 
-    probs_u/mask_u are [n_unique, S(, C)]; cand_map[j] is candidate j's
-    row in the unique arrays.  Draw order matches
+    ``probs_u`` is a SEQUENCE of per-trajectory [S, C] arrays (kept
+    unstacked on purpose: materializing the [n_u, S, 1601] stack costs a
+    ~26 MB copy per item at flagship geometry only to gather ~120 target
+    rows); ``mask_u`` is [n_unique, S]; cand_map[j] is candidate j's row
+    in the unique arrays.  Draw order matches
     randomize_regions_sparse_np exactly (one uniform per candidate-region,
     drawn as a single [nc, S] block), so with the same RNG state the
-    dedup and dense paths select identical masks.
+    dedup and dense paths select identical masks.  ``dtype`` sets the
+    target-row output dtype (the transport dtype) so the cast happens in
+    the gather assignment instead of a second full pass.
 
     Returns (feature_zero_mask [nc, S] u8, idx [nc, M] i32,
              rows [nc, M, C], targets_mask [nc, S])."""
@@ -164,7 +170,8 @@ def randomize_regions_sparse_dedup_np(
     targets_mask = np.zeros((nc, s), mask_u.dtype)
     zero_mask = np.zeros((nc, s), np.uint8)
     idx = np.full((nc, m_cap), s, np.int32)
-    rows = np.zeros((nc, m_cap, probs_u.shape[-1]), probs_u.dtype)
+    rows = np.zeros((nc, m_cap, probs_u[0].shape[-1]),
+                    dtype or probs_u[0].dtype)
 
     p = rng.random((nc, s))
     for j, u in enumerate(cand_map):
@@ -179,7 +186,7 @@ def randomize_regions_sparse_dedup_np(
         zero_mask[j] = pj >= ZERO_THRESH
         on = np.nonzero(sel)[0]
         idx[j, : len(on)] = on
-        rows[j, : len(on)] = probs_u[u, on]
+        rows[j, : len(on)] = probs_u[u][on]
     return zero_mask, idx, rows, targets_mask
 
 
