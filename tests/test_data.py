@@ -793,3 +793,44 @@ def test_dedup_train_step_matches_dense(ytb_env):
 def test_dedup_requires_sparse_targets():
     with pytest.raises(ValueError, match="sparse_vision_targets"):
         _ytb_args(dedup_candidates=True).validate()
+
+
+def test_native_pack_f16_and_gather_probs(ytb_env):
+    """vlnstore_pack_path_f16 must equal pack_path's features cast to f16
+    (bit-exact: F16C round-to-nearest-even == numpy astype) with identical
+    locations/mask; vlnstore_gather_probs must reproduce pack_path's probs
+    rows for arbitrary region ids incl. the uniform global row, padded
+    steps and the id sentinel."""
+    reader = YTbFeaturesReader(ytb_env["store_path"])
+    keys = sorted(reader.keys)
+    step_keys = [(keys[0], keys[1]), (keys[2],),
+                 (keys[3], keys[4], keys[5])]
+    max_steps, max_boxes = 4, 5
+    dense = reader.pack_path(step_keys, max_steps, max_boxes)
+    if dense is None:
+        pytest.skip("native library not built")
+    f32, l32, p32, m32 = dense
+
+    packed = reader.pack_path_f16(step_keys, max_steps, max_boxes)
+    assert packed is not None
+    f16, l16, m16 = packed
+    assert f16.dtype == np.float16
+    np.testing.assert_array_equal(f16, f32.astype(np.float16))
+    np.testing.assert_array_equal(l16, l32)
+    np.testing.assert_array_equal(m16, m32)
+
+    s_total = max_steps * max_boxes
+    ids = np.asarray([0,              # global region -> uniform row
+                      1, 4,           # real + truncated-range rows
+                      5,              # second step's global row
+                      3 * max_boxes,  # padded step -> zeros
+                      s_total,        # sentinel (padding) -> zeros
+                      ], np.int32)
+    rows = reader.gather_probs(step_keys, ids, max_boxes)
+    assert rows is not None
+    for j, rid in enumerate(ids):
+        if rid < s_total:
+            np.testing.assert_array_equal(rows[j], p32[rid], err_msg=str(rid))
+        else:
+            assert (rows[j] == 0).all()
+    reader.close()
