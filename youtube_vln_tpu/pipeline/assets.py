@@ -63,8 +63,29 @@ TASK_ASSETS: Dict[str, str] = {
         "https://dl.dropboxusercontent.com/s/p6hlckr70a07wka/R2R_val_unseen.json",
 }
 
+# model weights the reference's pipeline scripts wget at first run
+# (filter_outdoor_resnet_place365.py:52-56, filter_outdoor_maskrcnn_coco.py:
+# 53-58 + torchvision's pretrained=True download); import paths:
+# places365.params_from_torch_state_dict / alexnet_params_from_torch_
+# state_dict / maskrcnn.params_from_torch_state_dict
+MODEL_WEIGHT_ASSETS: Dict[str, str] = {
+    "data/YouTube-VLN/model4youtube/wideresnet18_places365.pth.tar":
+        "http://places2.csail.mit.edu/models_places365/"
+        "wideresnet18_places365.pth.tar",
+    "data/YouTube-VLN/model4youtube/alexnet_places365.pth.tar":
+        "http://places2.csail.mit.edu/models_places365/"
+        "alexnet_places365.pth.tar",
+    "data/YouTube-VLN/model4youtube/categories_places365.txt":
+        "https://raw.githubusercontent.com/csailvision/places365/master/"
+        "categories_places365.txt",
+    "data/YouTube-VLN/model4youtube/maskrcnn_resnet50_fpn_coco.pth":
+        "https://download.pytorch.org/models/"
+        "maskrcnn_resnet50_fpn_coco-bf2d0c1e.pth",
+}
+
 ASSETS: Dict[str, str] = {**BEAMSEARCH_ASSETS, **CONFIG_ASSETS,
-                          **SPEAKER_ASSETS, **TASK_ASSETS}
+                          **SPEAKER_ASSETS, **TASK_ASSETS,
+                          **MODEL_WEIGHT_ASSETS}
 
 CONNECTIVITY_ROOT_URL = ("https://raw.githubusercontent.com/peteanderson80/"
                          "Matterport3DSimulator/master/connectivity")
