@@ -834,3 +834,32 @@ def test_native_pack_f16_and_gather_probs(ytb_env):
         else:
             assert (rows[j] == 0).all()
     reader.close()
+
+
+def test_loader_worker_determinism_dedup(ytb_env):
+    """The dedup transport (f16 uniq rows + uint8 zero-mask + gather
+    index) must survive the fork-pool shared-memory path unchanged and
+    stay worker-count deterministic."""
+    from youtube_vln_tpu.data.tokenizer import load_tokenizer
+    tok = load_tokenizer(ytb_env["vocab_path"])
+    reader = YTbFeaturesReader(ytb_env["store_path"])
+    args = _ytb_args(skeleton_path=ytb_env["skeleton_path"],
+                     sparse_vision_targets=True, dedup_candidates=True)
+    ds = YTbDataset(args=args, caption_path=ytb_env["caption_path"],
+                    tokenizer=tok, features_reader=reader,
+                    masked_vision=True, masked_language=True, training=True,
+                    seed=0)
+    batches = {}
+    for nw in (0, 2):
+        loader = Loader(ds, batch_size=2, shuffle=True, seed=3,
+                        num_workers=nw)
+        batches[nw] = list(loader)
+    assert len(batches[0]) == len(batches[2]) > 0
+    assert "uniq_image_features" in batches[0][0]
+    assert batches[0][0]["uniq_image_features"].dtype == np.float16
+    assert batches[0][0]["feature_zero_mask"].dtype == np.uint8
+    for b0, b2 in zip(batches[0], batches[2]):
+        assert set(b0) == set(b2)
+        for k in b0:
+            np.testing.assert_array_equal(b0[k], b2[k], err_msg=k)
+    reader.close()
