@@ -863,3 +863,56 @@ def test_loader_worker_determinism_dedup(ytb_env):
         for k in b0:
             np.testing.assert_array_equal(b0[k], b2[k], err_msg=k)
     reader.close()
+
+
+def test_vision_targets_skipped_when_task_off(ytb_env):
+    """When the masked-vision TASK is globally off no loss reads vision
+    targets, so items must not build/ship them (a ranking-only eval
+    batch is mostly the dense uniform [nc, S, 1601] block otherwise).
+    A masking-off SPLIT under an enabled task still emits them — the
+    reference's test_epoch computes the vision loss on unmasked uniform
+    targets (utils_init.py:122-128)."""
+    from youtube_vln_tpu.data.tokenizer import load_tokenizer
+    tok = load_tokenizer(ytb_env["vocab_path"])
+    reader = YTbFeaturesReader(ytb_env["store_path"])
+
+    # ranking-only: task off everywhere -> no target keys
+    args = _ytb_args(skeleton_path=ytb_env["skeleton_path"],
+                     masked_vision=False, masked_language=False)
+    ds = YTbDataset(args=args, caption_path=ytb_env["caption_path"],
+                    tokenizer=tok, features_reader=reader,
+                    masked_vision=False, masked_language=False,
+                    training=True, seed=0)
+    item = ds[0]
+    assert "image_targets" not in item
+    assert "image_targets_mask" not in item
+
+    # eval split with masking off, TASK on -> uniform targets kept
+    args_on = _ytb_args(skeleton_path=ytb_env["skeleton_path"])
+    assert args_on.masked_vision
+    ds_on = YTbDataset(args=args_on, caption_path=ytb_env["caption_path"],
+                       tokenizer=tok, features_reader=reader,
+                       masked_vision=False, masked_language=False,
+                       training=True, seed=0)
+    item = ds_on[0]
+    assert "image_targets" in item
+    np.testing.assert_allclose(np.asarray(item["image_targets"],
+                                          np.float32)[0, 0],
+                               1.0 / 1601, rtol=1e-3)
+
+    # the jitted step runs without the keys (ranking loss only)
+    import jax
+    from youtube_vln_tpu.config import tiny_config
+    from youtube_vln_tpu.models import init_lily_params
+    from youtube_vln_tpu.parallel import train_step as ts
+    batch = next(iter(Loader(ds, batch_size=2, shuffle=True, seed=1)))
+    assert "image_targets" not in batch
+    cfg = tiny_config(vocab_size=256, v_feature_size=2048,
+                      v_target_size=1601, ranking=True)
+    params = init_lily_params(jax.random.PRNGKey(0), cfg)
+    state, tx, _ = ts.create_train_state(params, args, 4)
+    step = jax.jit(ts.build_train_step(cfg, args, tx))
+    _, metrics = step(state, batch, jax.random.PRNGKey(0))
+    assert np.isfinite(float(metrics["loss/train"]))
+    assert "loss/vision" not in metrics
+    reader.close()

@@ -154,6 +154,14 @@ class PretrainDataset:
                                              False)
         self.dedup_candidates = bool(getattr(args, "dedup_candidates",
                                              False))
+        # when the masked-vision TASK is globally off, no loss ever reads
+        # vision targets — don't build/ship them (the dense uniform
+        # [nc, S, 1601] block is most of a ranking-only batch).  A split
+        # with masking off under an enabled task still emits them (the
+        # reference's test_epoch computes the vision loss on unmasked
+        # uniform targets, utils_init.py:122-128).
+        self.emit_vision_targets = masked_vision or bool(
+            getattr(args, "masked_vision", False))
 
         captions = self.load_captions(caption_path)
         self.caption_by_key = {self.caption_key(c): c for c in captions}
@@ -320,12 +328,16 @@ class PretrainDataset:
                  image_targets_mask) = randomize_regions_sparse_dedup_np(
                     image_probs_list, image_mask, cand_map, self.np_rng,
                     dtype=self.io_dtype)
+            elif not self.emit_vision_targets:
+                image_targets = image_targets_mask = None
             else:
                 image_targets_idx = np.full((nc, m_cap), s_v, np.int32)
                 image_targets = np.zeros(
                     (nc, m_cap, image_probs_list[0].shape[-1]),
                     self.io_dtype)
                 image_targets_mask = np.zeros((nc, s_v), image_mask.dtype)
+        elif not self.masked_vision and not self.emit_vision_targets:
+            image_targets = image_targets_mask = None
         elif self.masked_vision and self.sparse_vision_targets:
             (image_features, image_targets_idx, image_targets,
              image_targets_mask) = randomize_regions_sparse_np(
@@ -384,14 +396,16 @@ class PretrainDataset:
             visual = dict(image_features=image_features,
                           image_locations=image_locations,
                           image_mask=image_mask)
-        return dict(
-            ranking_target=ranking_target,
-            **visual,
+        targets = {} if image_targets is None else dict(
             image_targets=image_targets.astype(self.io_dtype, copy=False),
             **({"image_targets_idx": image_targets_idx}
                if image_targets_idx is not None else {}),
             image_targets_mask=image_targets_mask.astype(np.int32,
-                                                         copy=False),
+                                                         copy=False))
+        return dict(
+            ranking_target=ranking_target,
+            **visual,
+            **targets,
             instr_tokens=instr_tokens.astype(np.int32, copy=False),
             instr_mask=instr_mask,
             instr_targets=instr_targets.astype(np.int32, copy=False),
@@ -558,6 +572,10 @@ class BeamDataset:
         self.io_dtype = np.dtype(getattr(args, "io_dtype", "float32"))
         self.sparse_vision_targets = getattr(args, "sparse_vision_targets",
                                              False)
+        # see PretrainDataset: skip vision targets when the TASK is off
+        # (a ranking-only eval batch is mostly the dense uniform block)
+        self.emit_vision_targets = masked_vision or bool(
+            getattr(args, "masked_vision", False))
         if shuffler not in ("different", "nonadj"):
             raise ValueError(f"Unexpected shuffling mode ({shuffler})")
         self.shuffler = S.load_shuffler(shuffler)
@@ -809,6 +827,8 @@ class BeamDataset:
             image_features, image_targets, image_targets_mask = \
                 randomize_regions_np(image_features, image_probs, image_mask,
                                      self.np_rng, copy=False)
+        elif not self.emit_vision_targets:
+            image_targets = image_targets_mask = None
         elif self.sparse_vision_targets:
             s_v = image_mask.shape[-1]
             m_cap = max_masked_regions(s_v)
@@ -835,16 +855,18 @@ class BeamDataset:
             ranking_target = np.asarray(target, np.float32)
 
         image_features = image_features.astype(self.io_dtype, copy=False)
+        targets = {} if image_targets is None else dict(
+            image_targets=image_targets.astype(self.io_dtype, copy=False),
+            **({"image_targets_idx": image_targets_idx}
+               if image_targets_idx is not None else {}),
+            image_targets_mask=image_targets_mask.astype(np.int32,
+                                                         copy=False))
         return dict(
             ranking_target=ranking_target,
             image_features=image_features,
             image_locations=image_locations,
             image_mask=image_mask,
-            image_targets=image_targets.astype(self.io_dtype, copy=False),
-            **({"image_targets_idx": image_targets_idx}
-               if image_targets_idx is not None else {}),
-            image_targets_mask=image_targets_mask.astype(np.int32,
-                                                         copy=False),
+            **targets,
             instr_tokens=instr_tokens.astype(np.int32, copy=False),
             instr_mask=instr_mask,
             instr_targets=instr_targets.astype(np.int32, copy=False),

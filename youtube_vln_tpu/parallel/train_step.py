@@ -161,10 +161,14 @@ def loss_fn(params, cfg: LilyConfig, batch, tasks, rng, train: bool):
         language_target_idx=lang_idx, vision_target_idx=vis_idx)
     loss_batch = dict(opt_mask=batch["opt_mask"],
                       ranking_target=batch["ranking_target"],
-                      image_targets=_merge01(batch["image_targets"]),
-                      image_targets_mask=_merge01(batch["image_targets_mask"]),
                       instr_targets=instr_targets,
                       num_regions=flat["image_mask"].shape[1])
+    if "image_targets" in batch:
+        # absent when the masked-vision task is globally off — the
+        # dataset skips shipping the (large) target block entirely
+        loss_batch["image_targets"] = _merge01(batch["image_targets"])
+        loss_batch["image_targets_mask"] = _merge01(
+            batch["image_targets_mask"])
     if "image_targets_idx" in batch:
         loss_batch["image_targets_idx"] = _merge01(batch["image_targets_idx"])
         loss_batch["vision_pre_gathered"] = vis_idx is not None
