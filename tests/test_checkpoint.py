@@ -257,3 +257,44 @@ def test_orbax_sharded_save_restore_dp4_tp2(tmp_path, cfg):
                for ax in (s if isinstance(s, tuple) else (s,))):
             n_tp_sharded += 1
     assert n_tp_sharded > 0, "no TP-sharded leaf restored sharded"
+
+
+def test_orbax_param_only_and_non_resume_templates(tmp_path, cfg, params):
+    """Orbax restore rejects BOTH missing and extra template entries, so
+    load_orbax intersects the template with what is on disk: a
+    param-only save still loads, and a full checkpoint can be read with
+    a params-only template (the engine's non-resume path skips the
+    optimizer shards)."""
+    path = ckpt.save_orbax(tmp_path / "params_only.orbax", params)
+    out = ckpt.load_orbax(path, {"params": params,
+                                 "opt_state": {"mu": params},
+                                 "step": 0, "epoch": 0})
+    assert set(out) == {"params", "step", "epoch"}
+    _params_equal(params, out["params"])
+
+    full = ckpt.save_orbax(tmp_path / "full.orbax", params,
+                           opt_state={"mu": params}, step=3, epoch=1)
+    assert ckpt.orbax_entries(full) == {"params", "opt_state", "step",
+                                        "epoch"}
+    out = ckpt.load_orbax(full, {"params": params})
+    assert set(out) == {"params"}
+    _params_equal(params, out["params"])
+
+
+def test_opt_state_blob_rejects_malicious_pickle(tmp_path, cfg, params):
+    """The embedded jax_optimizer_state blob goes through an allowlisted
+    unpickler — a crafted payload must not execute (the outer restricted
+    reader would otherwise be bypassed through an innocent bytes
+    field)."""
+    class Evil:
+        def __reduce__(self):
+            return (print, ("pwned",))
+
+    payload = {"model_state_dict": {}, "epoch": 0,
+               "jax_optimizer_state": pickle.dumps(Evil(), protocol=2)}
+    path = tmp_path / "evil_opt.bin"
+    tser.save(payload, path)
+    fresh = jax.tree_util.tree_map(
+        np.asarray, init_lily_params(jax.random.PRNGKey(1), cfg))
+    with pytest.raises(pickle.UnpicklingError, match="disallowed global"):
+        ckpt.load_checkpoint(str(path), cfg, fresh)

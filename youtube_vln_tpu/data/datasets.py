@@ -215,6 +215,21 @@ class PretrainDataset:
         n = self.args.num_negatives
         return 1 + 3 * n if not self.traj_judge_only else 1 + 2 * n
 
+    def num_unique_candidates(self):
+        """Static unique-trajectory count under --dedup_candidates (the
+        collate pad target for uniq_* keys); None when dedup is off.
+        Mirrors __getitem__'s sharing structure: caption-negatives (and
+        under shuffle_instruction also image-negatives) reuse the
+        positive's features."""
+        if not self.dedup_candidates:
+            return None
+        n = self.args.num_negatives
+        if self.traj_judge_only:
+            return 1 + 2 * n          # every candidate has own visuals
+        if self.args.negative_style == "shuffle_instruction":
+            return 1 + n              # only the random negatives differ
+        return 1 + 2 * n              # image + random negatives differ
+
     def _visual_features(self, trajectory):
         step_keys = []
         for listing_id, photo_id in trajectory[: self.args.max_path_length]:

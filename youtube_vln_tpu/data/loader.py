@@ -156,15 +156,16 @@ BATCH_KEYS = ("ranking_target", "image_features", "image_locations",
 
 
 def collate(samples: Sequence[Dict[str, np.ndarray]], nc: int,
-            with_instr_id: bool = False) -> Dict[str, np.ndarray]:
+            with_instr_id: bool = False,
+            nc_uniq: Optional[int] = None) -> Dict[str, np.ndarray]:
     """Stack items into [bs, nc, ...] batch arrays, zero-padding the
     candidate dim (opt_mask marks the real rows; scalar ranking_target
-    stays [bs]).  ``uniq_*`` keys pad dim 0 to the first item's unique
-    count instead of nc (it is structurally constant per dataset).  Each
-    key fills ONE batch allocation directly — a pad-per-item-then-stack
-    route costs two copies and ~bs allocations per key, which dominated
-    the feed rate at the flagship item size (see
-    scripts/bench_loader.py)."""
+    stays [bs]).  ``uniq_*`` keys pad dim 0 to ``nc_uniq`` (the
+    dataset's static unique-trajectory count; falls back to the first
+    item's) so every batch keeps one shape.  Each key fills ONE batch
+    allocation directly — a pad-per-item-then-stack route costs two
+    copies and ~bs allocations per key, which dominated the feed rate
+    at the flagship item size (see scripts/bench_loader.py)."""
     bs = len(samples)
     first = samples[0]
     batch: Dict[str, np.ndarray] = {}
@@ -176,7 +177,7 @@ def collate(samples: Sequence[Dict[str, np.ndarray]], nc: int,
             batch[k] = np.stack([np.asarray(s[k]) for s in samples])
             continue
         dtype = bool if k == "opt_mask" else v0.dtype
-        n0 = v0.shape[0] if k.startswith("uniq_") else nc
+        n0 = (nc_uniq or v0.shape[0]) if k.startswith("uniq_") else nc
         arr = np.empty((bs, n0) + v0.shape[1:], dtype)
         for i, s in enumerate(samples):
             v = np.asarray(s[k])
@@ -229,6 +230,8 @@ class Loader:
         self.drop_last = shuffle if drop_last is None else drop_last
         self.prefetch = prefetch
         self.nc = num_candidates or dataset.num_candidates()
+        self.nc_uniq = getattr(dataset, "num_unique_candidates",
+                               lambda: None)()
         self.with_instr_id = with_instr_id
         self.num_workers = num_workers
         self.use_shared_memory = use_shared_memory
@@ -261,10 +264,10 @@ class Loader:
                         _item_seed(self.seed, self.epoch, int(idx)))
                 buf.append(self.dataset[int(idx)])
                 if len(buf) == self.batch_size:
-                    q.put(collate(buf, self.nc, self.with_instr_id))
+                    q.put(collate(buf, self.nc, self.with_instr_id, self.nc_uniq))
                     buf = []
             if buf and not self.drop_last:
-                q.put(collate(buf, self.nc, self.with_instr_id))
+                q.put(collate(buf, self.nc, self.with_instr_id, self.nc_uniq))
             q.put(None)
         except BaseException as e:  # surface worker errors to the consumer
             q.put(e)
@@ -350,22 +353,22 @@ class Loader:
                                     if slabs else -1)
                             buf.append(res[1])
                         if len(buf) == self.batch_size:
-                            yield collate(buf, self.nc, self.with_instr_id)
+                            yield collate(buf, self.nc, self.with_instr_id, self.nc_uniq)
                             buf = []
                             for s in used_slots:
                                 free_q.put(s)
                             used_slots = []
                     if buf and not self.drop_last:
-                        yield collate(buf, self.nc, self.with_instr_id)
+                        yield collate(buf, self.nc, self.with_instr_id, self.nc_uniq)
                 else:
                     buf = []
                     for item in pool.imap(_fetch, tasks, chunksize=chunk):
                         buf.append(item)
                         if len(buf) == self.batch_size:
-                            yield collate(buf, self.nc, self.with_instr_id)
+                            yield collate(buf, self.nc, self.with_instr_id, self.nc_uniq)
                             buf = []
                     if buf and not self.drop_last:
-                        yield collate(buf, self.nc, self.with_instr_id)
+                        yield collate(buf, self.nc, self.with_instr_id, self.nc_uniq)
         finally:
             for slab in slabs:
                 try:

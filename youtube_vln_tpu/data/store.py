@@ -283,6 +283,18 @@ class Store:
             raise KeyError(key)
         return _parse_record(self._mm, off)
 
+    @staticmethod
+    def _marshal_step_keys(step_keys):
+        """(keys_arr, off_arr, n_steps) ctypes marshalling shared by the
+        path packers and the probs gather."""
+        flat = []
+        offsets = [0]
+        for keys in step_keys:
+            flat += [k.encode() for k in keys]
+            offsets.append(len(flat))
+        return ((ctypes.c_char_p * len(flat))(*flat),
+                (ctypes.c_int64 * len(offsets))(*offsets), len(step_keys))
+
     def pack_path(self, step_keys, max_steps: int, max_boxes: int):
         """Native gather+normalize+pad+concat of one candidate path
         (native/vlnstore.cc:vlnstore_pack_path).  step_keys: sequence of
@@ -292,14 +304,7 @@ class Store:
         if self._native is None or self._handle is None or \
                 not hasattr(self._native, "vlnstore_pack_path"):
             return None
-        flat = []
-        offsets = [0]
-        for keys in step_keys:
-            flat += [k.encode() for k in keys]
-            offsets.append(len(flat))
-        n_steps = len(step_keys)
-        keys_arr = (ctypes.c_char_p * len(flat))(*flat)
-        off_arr = (ctypes.c_int64 * len(offsets))(*offsets)
+        keys_arr, off_arr, n_steps = self._marshal_step_keys(step_keys)
         n = max_steps * max_boxes
         f = np.empty((n, 2048), np.float32)
         l = np.empty((n, 12), np.float32)
@@ -325,14 +330,7 @@ class Store:
         if self._native is None or self._handle is None or \
                 not hasattr(self._native, "vlnstore_pack_path_f16"):
             return None
-        flat = []
-        offsets = [0]
-        for keys in step_keys:
-            flat += [k.encode() for k in keys]
-            offsets.append(len(flat))
-        n_steps = len(step_keys)
-        keys_arr = (ctypes.c_char_p * len(flat))(*flat)
-        off_arr = (ctypes.c_int64 * len(offsets))(*offsets)
+        keys_arr, off_arr, n_steps = self._marshal_step_keys(step_keys)
         n = max_steps * max_boxes
         f = np.empty((n, 2048), np.float16)
         l = np.empty((n, 12), np.float32)
@@ -353,13 +351,7 @@ class Store:
         if self._native is None or self._handle is None or \
                 not hasattr(self._native, "vlnstore_gather_probs"):
             return None
-        flat = []
-        offsets = [0]
-        for keys in step_keys:
-            flat += [k.encode() for k in keys]
-            offsets.append(len(flat))
-        keys_arr = (ctypes.c_char_p * len(flat))(*flat)
-        off_arr = (ctypes.c_int64 * len(offsets))(*offsets)
+        keys_arr, off_arr, n_steps = self._marshal_step_keys(step_keys)
         ids = np.ascontiguousarray(region_ids, np.int32)
         out = np.empty((len(ids), PROB_DIM), np.float32)
         ret = self._native.vlnstore_gather_probs(

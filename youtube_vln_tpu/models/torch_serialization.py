@@ -215,9 +215,16 @@ def _load_legacy(path: str) -> Any:
 
 
 def load(path) -> Any:
-    """torch.load(path, map_location='cpu') equivalent; tensors -> numpy."""
+    """torch.load(path, map_location='cpu') equivalent; tensors -> numpy.
+
+    Format sniffing reads the leading local-file-header magic like
+    torch's own ``_is_zipfile`` — ``zipfile.is_zipfile`` scans the LAST
+    64 KB for an end-of-central-directory signature, which raw tensor
+    bytes at the end of a legacy file can spuriously contain."""
     path = os.fspath(path)
-    if zipfile.is_zipfile(path):
+    with open(path, "rb") as f:
+        magic = f.read(4)
+    if magic == b"PK\x03\x04":
         return _load_zip(path)
     return _load_legacy(path)
 

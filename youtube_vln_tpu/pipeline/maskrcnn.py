@@ -484,9 +484,12 @@ class MaskRCNNDetector:
 
     # ---- torchvision GeneralizedRCNNTransform ---------------------------- #
     def _preprocess(self, image: np.ndarray, resize: bool):
-        img = np.asarray(image, np.float32)
-        if img.max() > 1.5:
-            img = img / 255.0
+        if np.issubdtype(np.asarray(image).dtype, np.integer):
+            # uint8 frames -> [0, 1]; a value-range heuristic would treat
+            # near-black integer frames (max <= 1) as already-normalized
+            img = np.asarray(image, np.float32) / 255.0
+        else:
+            img = np.asarray(image, np.float32)
         img = (img - IMAGENET_MEAN) / IMAGENET_STD
         orig_hw = img.shape[:2]
         if resize:

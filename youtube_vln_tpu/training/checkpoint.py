@@ -40,6 +40,44 @@ def _tree_to_numpy(tree):
     return jax.tree_util.tree_map(lambda x: np.asarray(x), tree)
 
 
+# exact globals the pickled optimizer tree may reference: numpy array /
+# scalar reconstruction, the dict containers, and our optimizer state
+# NamedTuple.  Everything is converted to numpy before pickling
+# (_tree_to_numpy), so no jax types appear.
+_OPT_STATE_ALLOWED = {
+    ("numpy", "ndarray"),
+    ("numpy", "dtype"),
+    ("numpy.core.multiarray", "_reconstruct"),
+    ("numpy._core.multiarray", "_reconstruct"),
+    ("numpy.core.multiarray", "scalar"),
+    ("numpy._core.multiarray", "scalar"),
+    ("numpy.dtypes", "Float32DType"),
+    ("numpy.dtypes", "Int32DType"),
+    ("collections", "OrderedDict"),
+    ("youtube_vln_tpu.training.optimization", "AdamWRefState"),
+}
+
+
+class _OptStateUnpickler(pickle.Unpickler):
+    """Allowlisted unpickler for the embedded ``jax_optimizer_state``
+    blob.  The outer checkpoint reader (models/torch_serialization.py)
+    rejects arbitrary globals, and a plain pickle.loads here would
+    reopen exactly that hole through a crafted bytes payload."""
+
+    def find_class(self, module, name):
+        if (module, name) in _OPT_STATE_ALLOWED or (
+                module.startswith("numpy.dtypes") and name.endswith("DType")):
+            return super().find_class(module, name)
+        raise pickle.UnpicklingError(
+            f"jax_optimizer_state references disallowed global "
+            f"'{module}.{name}' — extend _OPT_STATE_ALLOWED if the "
+            f"optimizer tree legitimately contains it")
+
+
+def _loads_opt_state(data: bytes):
+    return _OptStateUnpickler(io.BytesIO(data)).load()
+
+
 def save_checkpoint(save_dir, save_name, params, cfg: LilyConfig,
                     opt_state=None, step: int = 0, epoch: int = 0) -> str:
     path = checkpoint_path(save_dir, save_name)
@@ -121,7 +159,7 @@ def load_checkpoint(path, cfg: LilyConfig, params,
     epoch = -1
     if isinstance(payload, dict):
         if "jax_optimizer_state" in payload:
-            opt_state = pickle.loads(payload["jax_optimizer_state"])
+            opt_state = _loads_opt_state(payload["jax_optimizer_state"])
         step = int(payload.get("jax_step", 0))
         epoch = int(payload.get("epoch", -1))
     return params, opt_state, step, epoch
@@ -172,10 +210,49 @@ def save_orbax(directory, params, opt_state=None, step: int = 0,
     return str(directory)
 
 
-def load_orbax(directory, template) -> Dict[str, Any]:
-    """``template`` is a matching pytree of arrays (shapes/dtypes/shardings
-    to restore into)."""
+def orbax_entries(directory) -> Optional[set]:
+    """Top-level entry names of an Orbax checkpoint (None if metadata is
+    unreadable).  Orbax restore rejects BOTH missing and extra template
+    keys, so callers must intersect their template with what is actually
+    on disk (e.g. a param-only save has no ``opt_state`` entry)."""
     import orbax.checkpoint as ocp
 
-    ckptr = ocp.StandardCheckpointer()
-    return ckptr.restore(Path(directory).resolve(), template)
+    try:
+        md = ocp.StandardCheckpointer().metadata(Path(directory).resolve())
+    except Exception:
+        return None
+    tree = getattr(getattr(md, "item_metadata", None), "tree", None)
+    if tree is not None:
+        return set(tree.keys())
+    if hasattr(md, "keys"):
+        return set(md.keys())
+    return None
+
+
+def load_orbax(directory, template) -> Dict[str, Any]:
+    """``template`` is a pytree of arrays (shapes/dtypes/shardings to
+    restore into); top-level entries absent from the checkpoint are
+    dropped from the template (and therefore from the result) rather
+    than failing the whole restore."""
+    import orbax.checkpoint as ocp
+
+    directory = Path(directory).resolve()
+    # drop template entries the checkpoint does not have (restore rejects
+    # them even under partial_restore, which only tolerates the converse)
+    avail = orbax_entries(directory)
+    partial = False
+    if avail is not None and isinstance(template, dict):
+        template = {k: v for k, v in template.items() if k in avail}
+        partial = set(template) != avail
+    if not partial:
+        return ocp.StandardCheckpointer().restore(directory, template)
+    # template is a strict subset of the on-disk entries (e.g. the
+    # engine's non-resume path reads params but not the optimizer
+    # shards): partial_restore lives on the PyTree handler
+    restore_args = ocp.checkpoint_utils.construct_restore_args(template)
+    with ocp.Checkpointer(ocp.PyTreeCheckpointHandler()) as ckptr:
+        return ckptr.restore(
+            directory,
+            args=ocp.args.PyTreeRestore(item=template,
+                                        restore_args=restore_args,
+                                        partial_restore=True))

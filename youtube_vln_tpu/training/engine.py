@@ -51,6 +51,10 @@ class Subset:
     def num_candidates(self):
         return self.dataset.num_candidates()
 
+    def num_unique_candidates(self):
+        fn = getattr(self.dataset, "num_unique_candidates", None)
+        return fn() if fn else None
+
 
 def _maybe_subset(dataset, size, seed=0):
     if size is None or len(dataset) <= size:
@@ -242,16 +246,20 @@ class Engine:
                                        jax.device_put(opt_override),
                                        jax.numpy.asarray(step_override))
         if pending_orbax is not None:
-            payload = ckpt.load_orbax(
-                pending_orbax, {"params": self.state.params,
-                                "opt_state": self.state.opt_state,
-                                "step": 0, "epoch": 0})
+            # restore only what is needed AND present: a non-resume load
+            # skips the optimizer shards entirely, and a param-only save
+            # (save_orbax without opt_state) still resumes the params
+            template = {"params": self.state.params}
             if args.resume:
-                self.state = ts.TrainState(payload["params"],
-                                           payload["opt_state"],
-                                           jax.numpy.asarray(
-                                               int(payload["step"])))
-                start_epoch = int(payload["epoch"]) + 1
+                template.update(opt_state=self.state.opt_state,
+                                step=0, epoch=0)
+            payload = ckpt.load_orbax(pending_orbax, template)
+            if args.resume:
+                self.state = ts.TrainState(
+                    payload["params"],
+                    payload.get("opt_state", self.state.opt_state),
+                    jax.numpy.asarray(int(payload.get("step", 0))))
+                start_epoch = int(payload.get("epoch", -1)) + 1
                 self.log.info(f"resuming from epoch {start_epoch} "
                               f"(orbax, sharded)")
             else:
