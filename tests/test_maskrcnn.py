@@ -292,6 +292,35 @@ def test_detect_end_to_end_and_person_filter(sd_and_params):
     assert "person_locs" in data and "indoor_locs" in data
 
 
+def test_preprocess_downscale_matches_torch_interpolate(sd_and_params):
+    """The min-800/max-1333 resize path vs torch F.interpolate(bilinear,
+    antialias=False) — torchvision GeneralizedRCNNTransform semantics.
+    jax.image.resize defaults antialias=True, which low-passes on
+    downscale and would shift detection scores on large video frames."""
+    _, params = sd_and_params
+    det = M.MaskRCNNDetector(params, min_size=48, max_size=64)
+    rng = np.random.default_rng(5)
+    img = rng.integers(0, 255, size=(96, 130, 3)).astype(np.uint8)
+    padded, (h, w), orig_hw = det._preprocess(img, resize=True)
+    assert orig_hw == (96, 130)
+
+    x = torch.from_numpy(np.asarray(img, np.float32) / 255.0)
+    x = (x - torch.from_numpy(M.IMAGENET_MEAN)) \
+        / torch.from_numpy(M.IMAGENET_STD)
+    x = x.permute(2, 0, 1)[None]
+    scale = min(48 / 96, 64 / 130)
+    with torch.no_grad():
+        out = F.interpolate(x, scale_factor=scale, mode="bilinear",
+                            recompute_scale_factor=True,
+                            align_corners=False)
+    exp = out[0].permute(1, 2, 0).numpy()
+    assert (h, w) == exp.shape[:2]
+    np.testing.assert_allclose(padded[:h, :w], exp, atol=2e-5)
+    # padding region stays zero (stride-32 alignment)
+    assert padded.shape[0] % 32 == 0 and padded.shape[1] % 32 == 0
+    assert np.all(padded[h:] == 0) and np.all(padded[:, w:] == 0)
+
+
 def test_run_maskrcnn_filter_driver(sd_and_params, tmp_path):
     """Step-5b driver: per-video resume + artifact with both REAL networks
     (AlexNet indoor scorer + Mask-RCNN person detector), reference

@@ -150,8 +150,13 @@ class _TorchUnpickler(pickle.Unpickler):
 
 def _load_zip(path: str) -> Any:
     with zipfile.ZipFile(path) as zf:
-        pkl_name = next(n for n in zf.namelist()
-                        if n.endswith("/data.pkl") or n == "data.pkl")
+        pkl_name = next((n for n in zf.namelist()
+                         if n.endswith("/data.pkl") or n == "data.pkl"), None)
+        if pkl_name is None:
+            raise ValueError(
+                f"{path}: no data.pkl entry — a zip archive but not a torch "
+                "zip checkpoint (accepted formats: torch zip, torch legacy, "
+                "tar.gz archive containing one of those)")
         prefix = pkl_name[: -len("data.pkl")]
         byteorder_name = f"{prefix}byteorder"
         if byteorder_name in zf.namelist():
@@ -246,6 +251,9 @@ class _TorchPickler:
         self.out = io.BytesIO()
         self.storages: "OrderedDict[str, np.ndarray]" = OrderedDict()
         self._storage_keys: Dict[int, str] = {}
+        # keep every array whose id() keys _storage_keys alive for the
+        # pickler's lifetime, so CPython cannot recycle an id mid-dump
+        self._keepalive: List[np.ndarray] = []
 
     # -- low-level opcode emitters ---------------------------------------- #
     def _w(self, b: bytes):
@@ -286,11 +294,18 @@ class _TorchPickler:
 
     # -- torch-specific forms --------------------------------------------- #
     def _storage_key(self, arr: np.ndarray) -> str:
+        # Dedup by the CALLER's array identity (before any contiguous copy):
+        # tied weights passed as the same non-contiguous view object must
+        # still share one storage payload, exactly as torch does.
         key = self._storage_keys.get(id(arr))
         if key is None:
             key = str(len(self.storages))
             self._storage_keys[id(arr)] = key
-            self.storages[key] = arr
+            self._keepalive.append(arr)
+            # ascontiguousarray promotes 0-d to 1-d, so it is used for the
+            # storage PAYLOAD only — tensor metadata comes from the
+            # caller's array (shape () stays (), caught by the fuzz matrix)
+            self.storages[key] = np.ascontiguousarray(arr)
         return key
 
     def _tensor(self, arr: np.ndarray):
@@ -298,7 +313,6 @@ class _TorchPickler:
         storage_cls = _DTYPE_TO_STORAGE.get(dtype)
         if storage_cls is None:
             raise TypeError(f"no torch storage type for dtype {dtype}")
-        arr = np.ascontiguousarray(arr)
         key = self._storage_key(arr)
         self._global("torch._utils", "_rebuild_tensor_v2")
         self._w(b"(")

@@ -498,8 +498,13 @@ class MaskRCNNDetector:
             # floor sizing: F.interpolate(scale_factor=...,
             # recompute_scale_factor=True) produces floor(in * scale)
             nh, nw = int(h * scale), int(w * scale)
+            # antialias=False: torchvision's GeneralizedRCNNTransform uses
+            # F.interpolate(mode="bilinear", antialias=False); jax defaults
+            # antialias=True, which applies a low-pass filter on downscale
+            # and would shift detection scores on >800px video frames
             img = np.asarray(jax.image.resize(
-                jnp.asarray(img), (nh, nw, 3), method="linear"))
+                jnp.asarray(img), (nh, nw, 3), method="linear",
+                antialias=False))
         # pad to stride-32 multiples (batch of one)
         h, w = img.shape[:2]
         ph = -(-h // 32) * 32

@@ -111,13 +111,21 @@ def resolve_pretrained(path_or_url) -> Tuple[str, Optional[str]]:
         resolved = path
     if os.path.isdir(resolved):
         return os.path.join(resolved, "pytorch_model.bin"), None
-    if resolved.endswith("bin"):
+    if resolved.endswith((".bin", ".pth", ".pt")):
         return resolved, None
     tempdir = tempfile.mkdtemp()
     logger.info("extracting archive file %s to temp dir %s", resolved,
                 tempdir)
-    with tarfile.open(resolved, "r:gz") as archive:
-        archive.extractall(tempdir, filter="data")
+    try:
+        with tarfile.open(resolved, "r:gz") as archive:
+            archive.extractall(tempdir, filter="data")
+    except (tarfile.ReadError, OSError) as e:
+        import shutil
+        shutil.rmtree(tempdir, ignore_errors=True)
+        raise ValueError(
+            f"{resolved}: not a recognized checkpoint — expected a weights "
+            "file (.bin/.pth/.pt), a directory holding pytorch_model.bin, "
+            f"or a .tar.gz archive of one ({e})") from e
     return os.path.join(tempdir, "pytorch_model.bin"), tempdir
 
 
