@@ -218,18 +218,30 @@ def main():
         f"fused-kernel backward diverges from XLA: rel-L2 "
         f"{pallas_bwd_rel_l2:.5f} (max abs {pallas_bwd_max_err})")
 
-    # Steady state: pipelined dispatch chain, then force every step's loss.
-    n_steps = 10
-    losses = []
-    t0 = time.perf_counter()
-    for i in range(n_steps):
-        state, metrics = step(state, dbatch, jax.random.fold_in(rng_key, i))
-        losses.append(metrics["loss/train"])
-    losses = [float(x) for x in losses]
-    final_loss = losses[-1]
-    dt = (time.perf_counter() - t0) / n_steps
+    # Steady state: >=3 independent windows of a pipelined 10-step dispatch
+    # chain, each closed by forcing every step's loss (readback is the only
+    # thing that forces execution on axon).  VERDICT r3 weak #2: a single
+    # window under-reports the run-to-run spread (observed 262.6-270.4 ms
+    # across rounds 2-3, ~3%), so the headline is the MEDIAN window and the
+    # JSON carries min/max plus a noise_band fraction.
+    n_steps, n_windows = 10, 3
+    window_dts, final_loss = [], None
+    for w in range(n_windows):
+        losses = []
+        t0 = time.perf_counter()
+        for i in range(n_steps):
+            state, metrics = step(state, dbatch,
+                                  jax.random.fold_in(rng_key, w * n_steps + i))
+            losses.append(metrics["loss/train"])
+        losses = [float(x) for x in losses]
+        final_loss = losses[-1]
+        window_dts.append((time.perf_counter() - t0) / n_steps)
 
-    traj_per_s = bs * nc / dt / n_dev  # per-chip
+    dt = float(np.median(window_dts))
+    dt_min, dt_max = min(window_dts), max(window_dts)
+    noise_band = (dt_max - dt_min) / dt
+
+    traj_per_s = bs * nc / dt / n_dev  # per-chip, median window
     print(json.dumps({
         "metric": "pretrain_traj_per_s_per_chip",
         "value": round(traj_per_s, 2),
@@ -237,6 +249,10 @@ def main():
         "vs_baseline": round(traj_per_s / BASELINE_TRAJ_S, 2),
         "detail": {
             "step_ms": round(dt * 1000, 1),
+            "step_ms_min": round(dt_min * 1000, 1),
+            "step_ms_max": round(dt_max * 1000, 1),
+            "step_ms_windows": [round(x * 1000, 1) for x in window_dts],
+            "noise_band": round(noise_band, 4),
             "batch": [bs, nc, s_t, s_v],
             "device": str(jax.devices()[0]),
             "devices": n_dev,

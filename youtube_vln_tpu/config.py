@@ -57,6 +57,9 @@ class LilyConfig:
     fusion_method: str = "mul"
     intra_gate: bool = False
     with_coattention: bool = True
+    # Lily's fused-pool dropout (reference ``lily.py:24,51,100`` — a ctor
+    # arg that every reference entry leaves at its 0.1 default)
+    fusion_dropout_prob: float = 0.1
     # task heads enabled on the Lily wrapper (reference ``lily.py:117-127``)
     ranking: bool = True
     traj_judge: bool = False

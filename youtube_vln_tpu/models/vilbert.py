@@ -442,10 +442,10 @@ def lily_forward(params, cfg: LilyConfig, instr_tokens, image_features,
 
     if cfg.ranking or cfg.traj_judge:
         pooled = fuse_pooled(cfg, pooled_t, pooled_v)
-        # Lily applies its own dropout(0.1) on the fused pooled output
-        # (lily.py:51,100); the cls-head dropout path is not used for
-        # ranking/judge logits.
-        pooled = L.dropout(pooled, 0.1, rngs[1], train)
+        # Lily applies its own dropout on the fused pooled output
+        # (lily.py:51,100 — ctor default 0.1); the cls-head dropout path is
+        # not used for ranking/judge logits.
+        pooled = L.dropout(pooled, cfg.fusion_dropout_prob, rngs[1], train)
         if cfg.ranking:
             outputs["ranking"] = L.linear(pooled, params["vil_logit"]).astype(jnp.float32)
         if cfg.traj_judge:
