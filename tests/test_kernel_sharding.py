@@ -155,6 +155,75 @@ def test_epilogue_odd_local_rows(mesh, rng):
                                    atol=3e-6 * scale, err_msg=name)
 
 
+def test_attention_head_dim_sharded(rng):
+    """Megatron TP shards the HEAD dim (operands [B, H, s, d] with H on
+    'model').  The lead=2 contract must keep dims (0, 1) sharded with zero
+    gathers — pre-flattening [B, H] -> [B*H] outside the boundary has no
+    GSPMD representation and forced 20 head-dim all-gathers at the
+    flagship geometry (fwd AND the custom VJP)."""
+    devs = np.array(jax.devices())
+    if devs.size < 8:
+        pytest.skip("needs the 8-device CPU mesh")
+    mesh2 = Mesh(devs[:8].reshape(4, 2), ("data", "model"))
+    b, h, s, d = 8, 4, 128, 64
+    q, k, v = (jnp.asarray(rng.normal(size=(b, h, s, d)), jnp.float32)
+               for _ in range(3))
+    mask = jnp.zeros((b, 1, 1, s), jnp.float32)
+    sh = NamedSharding(mesh2, P("data", "model"))
+    qs, ks, vs = [jax.device_put(x, sh) for x in (q, k, v)]
+    ms = jax.device_put(mask, NamedSharding(mesh2, P("data")))
+
+    f = jax.jit(pallas_attention_core)
+    out = f(qs, ks, vs, ms)
+    assert out.sharding.spec == P("data", "model")
+    np.testing.assert_allclose(np.asarray(out),
+                               np.asarray(attention_core(q, k, v, mask)),
+                               atol=1e-5)
+    assert "all-gather" not in f.lower(qs, ks, vs, ms).compile().as_text()
+
+    def loss(q, k, v):
+        return jnp.sum(pallas_attention_core(q, k, v, mask) ** 2)
+
+    gf = jax.jit(jax.grad(loss, argnums=(0, 1, 2)))
+    g = gf(qs, ks, vs)
+    gr = jax.grad(lambda q, k, v: jnp.sum(attention_core(q, k, v, mask) ** 2),
+                  argnums=(0, 1, 2))(q, k, v)
+    for name, a, c in zip("qkv", g, gr):
+        assert a.sharding.spec == P("data", "model"), name
+        np.testing.assert_allclose(np.asarray(a), np.asarray(c), atol=1e-4,
+                                   err_msg=name)
+    assert "all-gather" not in gf.lower(qs, ks, vs).compile().as_text()
+
+
+def test_bi_attention_head_dim_sharded(rng):
+    devs = np.array(jax.devices())
+    if devs.size < 8:
+        pytest.skip("needs the 8-device CPU mesh")
+    mesh2 = Mesh(devs[:8].reshape(4, 2), ("data", "model"))
+    b, h, s_v, s_t, d = 8, 4, 64, 32, 64
+    mk = lambda s: jnp.asarray(rng.normal(size=(b, h, s, d)), jnp.float32)
+    q1, k1, v1 = mk(s_v), mk(s_v), mk(s_v)
+    q2, k2, v2 = mk(s_t), mk(s_t), mk(s_t)
+    v_mask = jnp.zeros((b, 1, 1, s_v), jnp.float32)
+    t_mask = jnp.zeros((b, 1, 1, s_t), jnp.float32)
+    sh = NamedSharding(mesh2, P("data", "model"))
+    args = [jax.device_put(x, sh) for x in (q1, k1, v1, q2, k2, v2)]
+    args += [jax.device_put(m, NamedSharding(mesh2, P("data")))
+             for m in (v_mask, t_mask)]
+
+    f = jax.jit(lambda *a: pallas_bi_attention(*a))
+    c1, c2 = f(*args)
+    assert c1.sharding.spec == P("data", "model")
+    assert c2.sharding.spec == P("data", "model")
+    np.testing.assert_allclose(
+        np.asarray(c1), np.asarray(attention_core(q2, k1, v1, v_mask)),
+        atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(c2), np.asarray(attention_core(q1, k2, v2, t_mask)),
+        atol=1e-5)
+    assert "all-gather" not in f.lower(*args).compile().as_text()
+
+
 def test_attention_dim0_sharded_over_two_axes(rng):
     """Under DP x TP the flattened (batch*heads) dim can be sharded over
     BOTH mesh axes; the partition rules must keep the tuple spec with zero

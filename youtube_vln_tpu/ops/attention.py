@@ -29,7 +29,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .partition import sharded_batch_call
+from .partition import sharded_lead_call
 
 
 def _interpret() -> bool:
@@ -117,20 +117,28 @@ def _specs(s_q, s_kv, d, num_heads):
     return qspec, kspec, bspec
 
 
-# global row ids [bh, 1] i32 for dropout seeding, one per program.  Mosaic
-# requires the trailing block dims to be (8k, 128m) or whole-array, so the
-# block is (8, 1) covering programs 8i..8i+7; ids are consecutive, so a
-# program recovers its own id as block_base + program_id % 8.
-_ROWSPEC = pl.BlockSpec((8, 1), lambda i, *_: (i // 8, 0),
-                        memory_space=pltpu.VMEM)
-
-
 def _row_ids(n: int):
+    """Global row ids [n, 1] i32 for the epilogue kernels' (8, 1) VMEM
+    row-id blocks (ops/epilogue.py)."""
     return jnp.arange(n, dtype=jnp.int32).reshape(n, 1)
 
 
+def _row_ids2(b: int, h: int):
+    """Global (batch, head) dropout-stream ids [B, H] i32.
+
+    Rides a scalar-prefetch (SMEM) operand: the attention kernels read
+    their own id with a dynamic ``program_id`` index, so ids need NOT be
+    consecutive within a shard — under tensor parallelism a shard owns a
+    strided subset of heads.  (The earlier (8, 1) VMEM block recovered ids
+    as block_base + program_id % 8, which silently assumed consecutive
+    ids and would replay/skew masks under a sharded head axis.)  Values
+    equal the flattened (b * H + h) order, so single-chip mask streams
+    are unchanged."""
+    return jnp.arange(b * h, dtype=jnp.int32).reshape(b, h)
+
+
 def _my_row_id(rowid_ref):
-    return rowid_ref[0, 0] + pl.program_id(0) % 8
+    return rowid_ref[pl.program_id(0)]
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
@@ -168,9 +176,9 @@ def _run_fwd(q, k, v, bias, dropout_rate, seed, num_heads):
         s_kv = k.shape[1]
         qspec, kspec, bspec = _specs(s_q, s_kv, d, None)
         grid_spec = pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=1,
+            num_scalar_prefetch=2,   # seed [1] + global row ids [bh]
             grid=(bh,),
-            in_specs=[_ROWSPEC, qspec, kspec, kspec, bspec],
+            in_specs=[qspec, kspec, kspec, bspec],
             out_specs=qspec,
         )
         kernel = functools.partial(_fwd_kernel, scale=1.0 / math.sqrt(d),
@@ -188,9 +196,11 @@ def _run_fwd(q, k, v, bias, dropout_rate, seed, num_heads):
             interpret=_interpret(),
         )(seed_arr, rowid, q, k, v, bias)
 
-    return sharded_batch_call(
-        call, (_seed_arr(seed), _row_ids(q.shape[0]), q, k, v, bias),
-        out_ranks=(3,))
+    # lead=2: batch AND head dims keep their mesh sharding (data + model
+    # parallel); the flatten to [bh, s, d] happens on per-shard shapes
+    return sharded_lead_call(
+        call, (_seed_arr(seed), _row_ids2(*q.shape[:2]), q, k, v, bias),
+        out_ranks=(4,), lead=2)
 
 
 def _fused_attention_fwd(q, k, v, bias, seed, dropout_rate, train,
@@ -210,9 +220,9 @@ def _fused_attention_bwd(dropout_rate, train, num_heads, residuals, do):
         s_kv = k.shape[1]
         qspec, kspec, bspec = _specs(s_q, s_kv, d, None)
         grid_spec = pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=1,
+            num_scalar_prefetch=2,
             grid=(bh,),
-            in_specs=[_ROWSPEC, qspec, kspec, kspec, bspec, qspec],
+            in_specs=[qspec, kspec, kspec, bspec, qspec],
             out_specs=(qspec, kspec, kspec),
         )
         kernel = functools.partial(_bwd_kernel, scale=1.0 / math.sqrt(d),
@@ -232,9 +242,9 @@ def _fused_attention_bwd(dropout_rate, train, num_heads, residuals, do):
             interpret=_interpret(),
         )(seed_arr, rowid, q, k, v, bias, do)
 
-    dq, dk, dv = sharded_batch_call(
-        call, (_seed_arr(seed), _row_ids(q.shape[0]), q, k, v, bias, do),
-        out_ranks=(3, 3, 3))
+    dq, dk, dv = sharded_lead_call(
+        call, (_seed_arr(seed), _row_ids2(*q.shape[:2]), q, k, v, bias, do),
+        out_ranks=(4, 4, 4), lead=2)
     return dq, dk, dv, jnp.zeros_like(bias), _seed_zero_cotangent(seed)
 
 
@@ -258,9 +268,10 @@ def pallas_attention_core(q, k, v, mask, *, dropout_rate: float = 0.0,
             "fused attention supports key-side masks [B,1,1,S_kv]; got "
             f"{mask.shape}")
         bias = mask.astype(jnp.float32).reshape(b, s_kv)
-    # tiny per-(batch,head) copy ([B*H, S_kv] f32) so the kernel index map
-    # stays trivial
-    bias = jnp.repeat(bias, h, axis=0).reshape(b * h, 1, s_kv)
+    # tiny per-(batch,head) copy ([B, H, 1, S_kv] f32) so the kernel index
+    # map stays trivial; rank-4 (not pre-flattened) so the head dim keeps
+    # its mesh sharding through the custom_partitioning boundary
+    bias = jnp.broadcast_to(bias[:, None, None, :], (b, h, 1, s_kv))
 
     if train and dropout_rate > 0.0 and rng is not None:
         seed = _draw_seed(rng)
@@ -268,12 +279,11 @@ def pallas_attention_core(q, k, v, mask, *, dropout_rate: float = 0.0,
         seed = jnp.zeros((), jnp.int32)
         dropout_rate = 0.0
 
-    qf = q.reshape(b * h, s_q, d)
-    kf = k.reshape(b * h, s_kv, d)
-    vf = v.reshape(b * h, s_kv, d)
-    out = _fused_attention(qf, kf, vf, bias, seed, float(dropout_rate),
-                           bool(train), h)
-    return out.reshape(b, h, s_q, d)
+    # operands stay [B, H, s, d]: merging an unsharded batch dim with a
+    # model-sharded head dim has no GSPMD representation (it forces
+    # head-dim all-gathers); the per-shard lowering flattens locally
+    return _fused_attention(q, k, v, bias, seed, float(dropout_rate),
+                            bool(train), h)
 
 
 # --------------------------------------------------------------------------- #
@@ -416,9 +426,9 @@ def _fused_bi_attention_fwd(q1, k1, v1, q2, k2, v2, vbias, tbias, seed,
         s_t = q2.shape[1]
         vspec, tspec, vbspec, tbspec = _bi_specs(s_v, s_t, d)
         grid_spec = pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=1,
+            num_scalar_prefetch=2,
             grid=(bh,),
-            in_specs=[_ROWSPEC, vspec, vspec, vspec, tspec, tspec, tspec,
+            in_specs=[vspec, vspec, vspec, tspec, tspec, tspec,
                       vbspec, tbspec],
             out_specs=(tspec, vspec),
         )
@@ -439,10 +449,10 @@ def _fused_bi_attention_fwd(q1, k1, v1, q2, k2, v2, vbias, tbias, seed,
             interpret=_interpret(),
         )(seed_arr, rowid, q1, k1, v1, q2, k2, v2, vbias, tbias)
 
-    ctx1, ctx2 = sharded_batch_call(
-        call, (_seed_arr(seed), _row_ids(q1.shape[0]),
+    ctx1, ctx2 = sharded_lead_call(
+        call, (_seed_arr(seed), _row_ids2(*q1.shape[:2]),
                q1, k1, v1, q2, k2, v2, vbias, tbias),
-        out_ranks=(3, 3))
+        out_ranks=(4, 4), lead=2)
     return (ctx1, ctx2), (q1, k1, v1, q2, k2, v2, vbias, tbias, seed)
 
 
@@ -458,9 +468,9 @@ def _fused_bi_attention_bwd(rate1, rate2, train, residuals, dout):
         s_t = q2.shape[1]
         vspec, tspec, vbspec, tbspec = _bi_specs(s_v, s_t, d)
         grid_spec = pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=1,
+            num_scalar_prefetch=2,
             grid=(bh,),
-            in_specs=[_ROWSPEC, vspec, vspec, vspec, tspec, tspec, tspec,
+            in_specs=[vspec, vspec, vspec, tspec, tspec, tspec,
                       vbspec, tbspec, tspec, vspec],
             out_specs=(vspec, vspec, vspec, tspec, tspec, tspec),
         )
@@ -484,10 +494,10 @@ def _fused_bi_attention_bwd(rate1, rate2, train, residuals, dout):
             interpret=_interpret(),
         )(seed_arr, rowid, q1, k1, v1, q2, k2, v2, vbias, tbias, do1, do2)
 
-    grads = sharded_batch_call(
-        call, (_seed_arr(seed), _row_ids(q1.shape[0]),
+    grads = sharded_lead_call(
+        call, (_seed_arr(seed), _row_ids2(*q1.shape[:2]),
                q1, k1, v1, q2, k2, v2, vbias, tbias, do1, do2),
-        out_ranks=(3, 3, 3, 3, 3, 3))
+        out_ranks=(4, 4, 4, 4, 4, 4), lead=2)
     dq1, dk1, dv1, dq2, dk2, dv2 = grads
     return (dq1, dk1, dv1, dq2, dk2, dv2,
             jnp.zeros_like(vbias), jnp.zeros_like(tbias),
@@ -517,7 +527,9 @@ def pallas_bi_attention(q1, k1, v1, q2, k2, v2, v_mask, t_mask, *,
         else:
             assert mask.shape[1] == 1 and mask.shape[2] == 1, mask.shape
             bias = mask.astype(jnp.float32).reshape(b, s)
-        return jnp.repeat(bias, h, axis=0).reshape(b * h, 1, s)
+        # rank-4 (not pre-flattened) so the head dim keeps its mesh
+        # sharding through the custom_partitioning boundary
+        return jnp.broadcast_to(bias[:, None, None, :], (b, h, 1, s))
 
     vbias = key_bias(v_mask, s_v)
     tbias = key_bias(t_mask, s_t)
@@ -528,12 +540,10 @@ def pallas_bi_attention(q1, k1, v1, q2, k2, v2, v_mask, t_mask, *,
         seed = jnp.zeros((), jnp.int32)
         rate1 = rate2 = 0.0
 
-    flat = lambda x, s: x.reshape(b * h, s, d)
-    ctx1, ctx2 = _fused_bi_attention(
-        flat(q1, s_v), flat(k1, s_v), flat(v1, s_v),
-        flat(q2, s_t), flat(k2, s_t), flat(v2, s_t),
+    # operands stay [B, H, s, d]; the per-shard lowering flattens locally
+    return _fused_bi_attention(
+        q1, k1, v1, q2, k2, v2,
         vbias, tbias, seed, float(rate1), float(rate2), bool(train))
-    return ctx1.reshape(b, h, s_t, d), ctx2.reshape(b, h, s_v, d)
 
 
 def select_bi_attention_fn(cfg, platform: Optional[str] = None):
