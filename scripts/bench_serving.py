@@ -36,13 +36,52 @@ def build_eval_batch(cfg, bs, nc, s_t, s_v, seed=0):
     }
 
 
+def build_dedup_eval_batch(cfg, bs, nc, s_t, n_u, L, boxes, seed=0):
+    """Synthetic --dedup_beam_steps transport at the eval geometry: n_u
+    unique (viewpoint, heading, step) pano blocks + a [nc, L] gather index
+    per instruction (datasets.py:_dedup_step_features).  io_dtype-f16
+    features like the real loader."""
+    rng = np.random.default_rng(seed)
+    dense = build_eval_batch(cfg, bs, nc, s_t, L * boxes, seed=seed)
+    return {
+        "instr_tokens": dense["instr_tokens"],
+        "instr_mask": dense["instr_mask"],
+        "segment_ids": dense["segment_ids"],
+        "uniq_step_features": rng.normal(
+            size=(bs, n_u, boxes, 2048)).astype(np.float16),
+        "uniq_step_locations": rng.random(
+            (bs, n_u, boxes, 12)).astype(np.float32),
+        "uniq_step_mask": np.ones((bs, n_u, boxes), np.int32),
+        "step_index": rng.integers(0, n_u,
+                                   (bs, nc, L)).astype(np.int32),
+        "opt_mask": np.ones((bs, nc), bool),
+    }
+
+
+def _visual_bytes(batch):
+    return sum(v.nbytes for k, v in batch.items()
+               if k.startswith(("image_", "uniq_step_", "step_index")))
+
+
 def main():
+    import argparse
+
     import jax
     import jax.numpy as jnp
 
     from youtube_vln_tpu.config import lily_base_config
     from youtube_vln_tpu.evaluation.beam_eval import build_score_step
     from youtube_vln_tpu.models import init_lily_params
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--dedup", action="store_true",
+                    help="also measure the --dedup_beam_steps transport "
+                         "(bytes/instruction + dispatch time + score "
+                         "parity vs the dense batch)")
+    ap.add_argument("--n_unique", type=int, default=120,
+                    help="unique step blocks per instruction for --dedup "
+                         "(dense slot count is nc*L = 240)")
+    ns = ap.parse_args()
 
     cfg = lily_base_config(ranking=True, traj_judge=False,
                            masked_vision=False, masked_language=False,
@@ -78,6 +117,57 @@ def main():
             "ms_per_dispatch": round(dt * 1000, 1),
             "beams_per_s": round(bs * nc / dt, 1),
             "instructions_per_s": round(bs / dt, 2),
+        }
+
+    if ns.dedup:
+        L, boxes = 8, s_v // 8
+        dense = build_eval_batch(cfg, 1, nc, s_t, s_v, seed=5)
+        dd = build_dedup_eval_batch(cfg, 1, nc, s_t, ns.n_unique, L, boxes,
+                                    seed=5)
+        # score parity: host-expand the dedup batch into a dense batch and
+        # require identical scores through the same jitted scorer
+        idx = dd["step_index"][0]
+        exp = {**dd}
+        exp["image_features"] = dd["uniq_step_features"][:, idx.reshape(-1)
+                                ].reshape(1, nc, L * boxes, 2048)
+        exp["image_locations"] = dd["uniq_step_locations"][
+            :, idx.reshape(-1)].reshape(1, nc, L * boxes, 12)
+        exp["image_mask"] = dd["uniq_step_mask"][:, idx.reshape(-1)
+                            ].reshape(1, nc, L * boxes)
+        for k in ("uniq_step_features", "uniq_step_locations",
+                  "uniq_step_mask", "step_index"):
+            del exp[k]
+        s_dense = np.asarray(step(params, jax.device_put(exp)))
+        s_dedup = np.asarray(step(params, jax.device_put(dd)))
+        max_err = float(np.abs(s_dense - s_dedup).max())
+        assert max_err < 1e-2, max_err   # bf16 forward; exact on f32
+
+        ddev = jax.device_put(dd)
+        jitter_d = jax.jit(lambda b, key: {
+            **b, "uniq_step_features": b["uniq_step_features"]
+            * (1.0 + jax.random.uniform(key, (), jnp.float16) * 1e-3)})
+        out = step(params, jitter_d(ddev, jax.random.PRNGKey(999)))
+        float(np.asarray(out).ravel()[0])
+        n = 12
+        t0 = time.perf_counter()
+        outs = [step(params, jitter_d(ddev, jax.random.PRNGKey(i)))
+                for i in range(n)]
+        for o in outs:
+            float(np.asarray(o).ravel()[0])
+        dt = (time.perf_counter() - t0) / n
+        # byte comparison on equal footing: the real loader ships f16
+        # features either way (io_dtype), locations/masks as emitted
+        dense_b = _visual_bytes({**dense, "image_features":
+                                 dense["image_features"].astype(np.float16)})
+        dd_b = _visual_bytes(dd)
+        results["dedup_bs1"] = {
+            "ms_per_dispatch": round(dt * 1000, 1),
+            "beams_per_s": round(nc / dt, 1),
+            "n_unique": ns.n_unique,
+            "visual_bytes_per_instruction_dense": dense_b,
+            "visual_bytes_per_instruction_dedup": dd_b,
+            "transport_saving": round(1.0 - dd_b / dense_b, 3),
+            "score_parity_max_err": max_err,
         }
 
     print(json.dumps({

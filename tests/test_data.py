@@ -184,11 +184,17 @@ def ytb_env(tmp_path_factory):
 
 
 def _ytb_args(**kw):
+    # reference-shaped dense transport unless a test opts in: the layout
+    # assertions here were written against the reference item shapes, and
+    # the sparse/dedup layouts carry their own explicit-flag tests below
+    # (the r4 RunConfig DEFAULT is sparse+dedup — pinned by
+    # test_dedup_follows_sparse_default)
     base = dict(
         pretrain=True, pre_dataset="ytb", ranking=True, masked_vision=True,
         masked_language=True, max_instruction_length=32, max_path_length=4,
         max_num_boxes=5, min_path_length=3, min_captioned=2, max_captioned=4,
-        num_negatives=2, shuffler="different", negative_style="normal")
+        num_negatives=2, shuffler="different", negative_style="normal",
+        sparse_vision_targets=False)
     base.update(kw)
     return RunConfig(**base)
 
@@ -292,6 +298,97 @@ def test_beam_dataset_eval_tiles_to_num_beams(r2r_env):
     assert s["ranking_target"].shape == (args.num_beams,)
     assert s["ranking_target"][0] == 1.0   # beam 0 is the gt path (fixture)
     assert s["instr_id"].shape == (2,)
+    reader.close()
+
+
+def _beam_eval_pair(r2r_env, **kw):
+    from youtube_vln_tpu.data.tokenizer import load_tokenizer
+    tok = load_tokenizer(r2r_env["vocab_path"])
+    reader = PanoFeaturesReader(r2r_env["store_path"])
+    mk = lambda **a: BeamDataset(
+        _beam_args(**a, **kw),
+        f"{r2r_env['data_dir']}/task/R2R_val_unseen.json",
+        f"{r2r_env['data_dir']}/beamsearch/beams_val_unseen.json",
+        tok, reader, num_beams=4, num_beams_strict=False,
+        training=False, masked_vision=False, masked_language=False,
+        shuffle_visual_features=False, data_dir=r2r_env["data_dir"], seed=0)
+    return mk(), mk(dedup_beam_steps=True), reader
+
+
+def test_beam_step_dedup_item_expands_to_dense(r2r_env):
+    """The step-dedup eval item, host-expanded, must equal the dense item
+    BIT-EXACTLY (the dedup key (viewpoint, heading, next_heading, step) is
+    exactly the reader-call signature + assembler padding)."""
+    dense_ds, dedup_ds, reader = _beam_eval_pair(r2r_env)
+    assert not dense_ds.step_dedup and dedup_ds.step_dedup
+    for i in range(2):
+        dense_ds.reseed(7)
+        dense = dense_ds[i]
+        dedup_ds.reseed(7)
+        dedup = dedup_ds[i]
+        idx = dedup["step_index"]
+        nc, L = idx.shape
+        n_u = dedup["uniq_step_features"].shape[0]
+        assert idx.max() < n_u
+        assert n_u % BeamDataset.STEP_BUCKET == 0  # bucket-padded
+        B = dedup["uniq_step_features"].shape[1]
+        for uk, dk in (("uniq_step_features", "image_features"),
+                       ("uniq_step_locations", "image_locations"),
+                       ("uniq_step_mask", "image_mask")):
+            exp = dedup[uk][idx].reshape((nc, L * B)
+                                         + dedup[uk].shape[2:])
+            np.testing.assert_array_equal(exp, dense[dk], err_msg=uk)
+        for k in ("instr_tokens", "instr_mask", "instr_targets",
+                  "segment_ids", "ranking_target", "opt_mask", "instr_id"):
+            np.testing.assert_array_equal(dedup[k], dense[k], err_msg=k)
+        # the transport saving is real on this fixture: beams share steps
+        assert (idx.size - len(np.unique(idx))) > 0
+    reader.close()
+
+
+def test_beam_step_dedup_scores_match(r2r_env):
+    """Scores through the jitted scorer are identical whether the batch
+    arrives dense or step-dedup + in-graph expanded (test.py protocol)."""
+    import jax
+    from youtube_vln_tpu.config import tiny_config
+    from youtube_vln_tpu.evaluation.beam_eval import build_score_step
+    from youtube_vln_tpu.models import init_lily_params
+
+    dense_ds, dedup_ds, reader = _beam_eval_pair(r2r_env)
+    cfg = tiny_config(v_feature_size=2048, ranking=True)
+    params = init_lily_params(jax.random.PRNGKey(0), cfg)
+    step = build_score_step(cfg)
+    scores = {}
+    for name, ds in (("dense", dense_ds), ("dedup", dedup_ds)):
+        loader = Loader(ds, batch_size=1, shuffle=False, drop_last=False,
+                        with_instr_id=True)
+        batch = next(iter(loader))
+        if name == "dedup":
+            assert "uniq_step_features" in batch
+            assert "image_features" not in batch
+        scores[name] = np.asarray(step(params, batch))
+    np.testing.assert_allclose(scores["dedup"], scores["dense"],
+                               rtol=0, atol=1e-6)
+    reader.close()
+
+
+def test_beam_step_dedup_collate_mixed_buckets(r2r_env):
+    """bs > 1 with different per-item unique counts pads uniq_step_* to
+    the batch max (collate's max-over-samples fallback)."""
+    from youtube_vln_tpu.data.loader import collate
+    _, dedup_ds, reader = _beam_eval_pair(r2r_env)
+    items = [dedup_ds[0], dedup_ds[1 % len(dedup_ds)]]
+    # force unequal uniq dims by trimming one item's pad rows
+    items[1] = dict(items[1])
+    for k in ("uniq_step_features", "uniq_step_locations",
+              "uniq_step_mask"):
+        items[1][k] = items[1][k][: items[1]["step_index"].max() + 1]
+    nc = max(it["step_index"].shape[0] for it in items)
+    batch = collate(items, nc, with_instr_id=True)
+    n0 = batch["uniq_step_features"].shape[1]
+    assert n0 == max(it["uniq_step_features"].shape[0] for it in items)
+    assert batch["step_index"].shape == (2, nc,
+                                         items[0]["step_index"].shape[1])
     reader.close()
 
 
@@ -528,6 +625,7 @@ def test_bnb_dataset_train_sample(tmp_path):
         masked_language=True, max_instruction_length=32, max_path_length=4,
         max_num_boxes=5, min_path_length=3, min_captioned=2, max_captioned=4,
         num_negatives=2, shuffler="different", negative_style="normal",
+        sparse_vision_targets=False,  # this test pins the dense layout
         skeleton_path="")  # '' -> ConcatenateInstructionGenerator
     ds = BnBDataset(args=args, caption_path=paths["caption_path"],
                     tokenizer=tok, features_reader=reader,
@@ -611,8 +709,8 @@ def test_sparse_vision_targets_end_to_end(ytb_env):
     tok = load_tokenizer(ytb_env["vocab_path"])
     reader = YTbFeaturesReader(ytb_env["store_path"])
     args = _ytb_args(skeleton_path=ytb_env["skeleton_path"],
-                     sparse_vision_targets=True, traj_judge=True,
-                     learning_rate=1e-3)
+                     sparse_vision_targets=True, dedup_candidates=False,
+                     traj_judge=True, learning_rate=1e-3)
     ds = YTbDataset(args=args, caption_path=ytb_env["caption_path"],
                     tokenizer=tok, features_reader=reader,
                     masked_vision=True, masked_language=True, training=True,
@@ -715,7 +813,8 @@ def _dedup_pair(ytb_env, seed=123):
         caption_path=ytb_env["caption_path"], tokenizer=tok,
         features_reader=reader, masked_vision=True, masked_language=True,
         training=True, seed=0)
-    ds_dense, ds_dedup = mk(), mk(dedup_candidates=True)
+    # dedup=None would FOLLOW sparse (r4 default-on); pin the pair
+    ds_dense, ds_dedup = mk(dedup_candidates=False), mk(dedup_candidates=True)
     ds_dense.reseed(seed)
     dense = ds_dense[0]
     ds_dedup.reseed(seed)
@@ -765,7 +864,8 @@ def test_dedup_train_step_matches_dense(ytb_env):
         features_reader=reader, masked_vision=True, masked_language=True,
         training=True, seed=0)
     batches = {}
-    for name, ds in (("dense", mk()), ("dedup", mk(dedup_candidates=True))):
+    for name, ds in (("dense", mk(dedup_candidates=False)),
+                     ("dedup", mk(dedup_candidates=True))):
         loader = Loader(ds, batch_size=2, shuffle=True, seed=1)
         batches[name] = next(iter(loader))
     assert batches["dedup"]["uniq_image_features"].shape[1] == 5
@@ -791,8 +891,22 @@ def test_dedup_train_step_matches_dense(ytb_env):
 
 
 def test_dedup_requires_sparse_targets():
+    # explicitly forcing dedup on without sparse targets is an error;
+    # (the r4 defaults are sparse=True with dedup following it, so the
+    # conflict now only arises from an explicit --dedup_candidates
+    # --no_sparse_vision_targets combination)
     with pytest.raises(ValueError, match="sparse_vision_targets"):
-        _ytb_args(dedup_candidates=True).validate()
+        _ytb_args(dedup_candidates=True,
+                  sparse_vision_targets=False).validate()
+
+
+def test_dedup_follows_sparse_default():
+    """r4 defaults: the measured-faster transport pair is ON out of the
+    box, and --no_sparse_vision_targets alone downgrades dedup with it."""
+    cfg = RunConfig(ranking=True)
+    assert cfg.sparse_vision_targets and cfg.dedup_candidates
+    off = RunConfig(ranking=True, sparse_vision_targets=False)
+    assert off.dedup_candidates is False
 
 
 def test_native_pack_f16_and_gather_probs(ytb_env):

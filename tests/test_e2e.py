@@ -119,6 +119,28 @@ def test_test_entry_and_metrics(env):
     assert set(summary) == {"length", "nav_error", "oracle_success_rate",
                             "success_rate", "spl"}
     assert summary["spl"] <= summary["success_rate"] <= 1.0
+    env["ev_results"] = results_path
+
+
+def test_test_entry_dedup_beam_steps(env):
+    """--dedup_beam_steps through the full test.py CLI must reproduce the
+    dense run bit-exactly: the loader ships unique (viewpoint, heading,
+    step) blocks + a gather index, the in-graph expand feeds the encoder
+    identical inputs (f32 here), and padded beams are -inf either way
+    (losses.pad_packed), so scores AND trajectories are equal."""
+    from conftest import load_entry
+    test_entry = load_entry('test')
+    results_path = test_entry.main(common_flags(env) + [
+        "--split", "val_unseen", "--save_name", "evdd",
+        "--dedup_beam_steps", "--from_pretrained", env["finetuned"]])
+    dense_dir, dedup_dir = (Path(env["ev_results"]).parent,
+                            Path(results_path).parent)
+    for name in ("_scores_val_unseen.json", "_results_val_unseen.json"):
+        with open(dense_dir / name) as f:
+            dense = json.load(f)
+        with open(dedup_dir / name) as f:
+            dedup = json.load(f)
+        assert dedup == dense, name
 
 
 def test_random_testing_floor(env):

@@ -14,7 +14,7 @@ import dataclasses
 import json
 from dataclasses import dataclass, field
 from pathlib import Path
-from typing import Tuple, Union
+from typing import Optional, Tuple, Union
 
 
 @dataclass
@@ -252,16 +252,37 @@ class RunConfig:
     compute_dtype: str = "bfloat16"
     io_dtype: str = "float16"   # host->device dtype for features/targets;
                                 # halves pipe/H2D traffic, model upcasts
-    sparse_vision_targets: bool = False  # ship only masked-region target
-                                         # rows (~10x smaller) and compute
-                                         # the KL on gathered rows in-graph
-    dedup_candidates: bool = False  # ship each unique trajectory's visual
+    sparse_vision_targets: bool = True  # ship only masked-region target
+                                        # rows (~10x smaller) and compute
+                                        # the KL on gathered rows in-graph.
+                                        # Default ON since r4: loss-exact
+                                        # (pinned tests/test_data.py) and
+                                        # measured strictly faster (item
+                                        # assembly 3x, host batch -24%);
+                                        # --no_sparse_vision_targets
+                                        # restores reference-shaped
+                                        # transport for A/B comparisons
+    dedup_candidates: Optional[bool] = None
+                                    # ship each unique trajectory's visual
                                     # rows once per sample (positive +
                                     # caption-negatives share them) plus a
                                     # per-candidate gather index; expanded
                                     # in-graph.  Cuts visual H2D/collate
-                                    # ~29% at num_negatives=2.  Requires
-                                    # sparse_vision_targets.
+                                    # ~29% at num_negatives=2, bit-exact
+                                    # (pinned).  None -> follow
+                                    # sparse_vision_targets (so both
+                                    # default ON together); requires
+                                    # sparse_vision_targets when forced on.
+    dedup_beam_steps: bool = False  # beam-eval transport: the <=30 beams
+                                    # of one instruction are tree-shaped
+                                    # paths over one graph neighborhood
+                                    # (all_dataset.py:981-1041), so their
+                                    # per-step pano blocks overlap heavily;
+                                    # ship each unique (viewpoint, heading,
+                                    # step) block once + a per-beam step
+                                    # index, expanded in-graph before the
+                                    # encoder.  Bit-exact (pinned); eval
+                                    # items only, needs masked-vision off.
     sparse_task_heads: bool = True  # run the MLM / masked-vision decoders
                                     # only on positions that carry targets
                                     # (loss-exact; the dense heads waste
@@ -274,6 +295,13 @@ class RunConfig:
                                      # (every host writes its own shards);
                                      # the default .bin path gathers to
                                      # host 0 for reference interop
+
+    def __post_init__(self):
+        # tri-state: CLI/default None means "follow sparse_vision_targets"
+        # so the measured-faster transport pair defaults on together, while
+        # --no_sparse_vision_targets alone cleanly restores the dense path
+        if self.dedup_candidates is None:
+            self.dedup_candidates = self.sparse_vision_targets
 
     def validate(self) -> None:
         """Reference ``utils/utils_init.py:13-23`` (val_args)."""

@@ -591,6 +591,16 @@ class BeamDataset:
         # (a ranking-only eval batch is mostly the dense uniform block)
         self.emit_vision_targets = masked_vision or bool(
             getattr(args, "masked_vision", False))
+        # step-level transport dedup (--dedup_beam_steps): eval beams are
+        # tree-shaped paths over one graph neighborhood (reference
+        # all_dataset.py:981-1041), so per-step pano blocks repeat across
+        # beams; ship each unique (viewpoint, heading, step) block once +
+        # a per-beam gather index, expanded in-graph (beam_eval.py).
+        # Scope: eval items with the masked-vision task off (features are
+        # then never corrupted and no per-beam prob targets are shipped).
+        self.step_dedup = (bool(getattr(args, "dedup_beam_steps", False))
+                           and not training and not masked_vision
+                           and not self.emit_vision_targets)
         if shuffler not in ("different", "nonadj"):
             raise ValueError(f"Unexpected shuffling mode ({shuffler})")
         self.shuffler = S.load_shuffler(shuffler)
@@ -686,6 +696,101 @@ class BeamDataset:
             steps.append(self.assembler.pad_step(feats, locs, probs, i))
         return self.assembler.stack(steps)
 
+    # n_u is padded up to a bucket multiple so the scorer jit sees at most
+    # ceil(nc * L / bucket) static shapes per run (each bucket compiles
+    # once; a per-item exact n_u would recompile for every instruction)
+    STEP_BUCKET = 40
+
+    def _dedup_step_features(self, scan_id, paths, first_heading):
+        """Unique per-step pano blocks + a [nc, L] gather index.
+
+        A step block is fully determined by (viewpoint, entry heading,
+        next heading, step position) — the reader call plus the assembler
+        padding take exactly these — so beams sharing a path prefix (the
+        common case: beams are a search tree, all_dataset.py:981-1041)
+        reuse each other's blocks, and every short path shares the same
+        empty-step block per position."""
+        L = self.args.max_path_length
+        uniq, index_rows = [], []
+        seen: Dict[tuple, int] = {}
+        for path in paths:
+            headings = get_headings(self.graphs[scan_id], path,
+                                    first_heading)
+            next_headings = headings[1:] + [headings[-1]]
+            row = []
+            for i, vp in enumerate(path[:L]):
+                key = (vp, float(headings[i]), float(next_headings[i]), i)
+                j = seen.get(key)
+                if j is None:
+                    j = len(uniq)
+                    seen[key] = j
+                    uniq.append(self._assemble_step(scan_id, vp,
+                                                    headings[i],
+                                                    next_headings[i], i))
+                row.append(j)
+            for i in range(min(len(path), L), L):
+                key = (None, 0.0, 0.0, i)
+                j = seen.get(key)
+                if j is None:
+                    j = len(uniq)
+                    seen[key] = j
+                    uniq.append(self.assembler.empty_step(i))
+                row.append(j)
+            index_rows.append(row)
+        return uniq, np.asarray(index_rows, np.int32)
+
+    def _assemble_step(self, scan_id, vp, heading, next_heading,
+                       step_idx: int):
+        """One pano step block through the SAME code path as the dense
+        item (the native packer when available): the global-region row is
+        a mean over box features whose C accumulation order differs from
+        numpy's pairwise summation by 1 f16 ulp, so mixing paths would
+        break the bit-exact dedup==dense guarantee."""
+        pack = getattr(self.reader, "pack_pano_path", None)
+        if pack is not None:
+            packed = pack([f"{scan_id}-{vp}"], [heading], [next_heading],
+                          1, self.assembler.max_num_boxes)
+            if packed is not None:
+                f, b, p, m = packed
+                b[:, 11] = step_idx   # the packer wrote position 0
+                return f, b, p, m
+        feats, locs, probs = self.reader[
+            f"{scan_id}-{vp}", heading, next_heading]
+        return self.assembler.pad_step(feats, locs, probs, step_idx)
+
+    def _finalize_step_dedup(self, instr_tokens, uniq_steps, step_index,
+                             target, instr_id):
+        nc = step_index.shape[0]
+        f, b, _, m = zip(*uniq_steps)
+        uniq_feats = np.stack(f).astype(self.io_dtype, copy=False)
+        uniq_locs = np.stack(b)
+        uniq_mask = np.stack(m).astype(np.int32, copy=False)
+        n_u = len(uniq_steps)
+        bucket = -(-n_u // self.STEP_BUCKET) * self.STEP_BUCKET
+        if bucket > n_u:
+            pad = bucket - n_u
+            wide = ((0, pad),) + ((0, 0),) * 2
+            uniq_feats = np.pad(uniq_feats, wide)
+            uniq_locs = np.pad(uniq_locs, wide)
+            uniq_mask = np.pad(uniq_mask, wide[:2])
+        instr_tokens, instr_mask, instr_targets, segment_ids = \
+            self._instruction_fields(instr_tokens, nc)
+        return dict(
+            ranking_target=np.asarray(target, np.float32),
+            uniq_step_features=uniq_feats,
+            uniq_step_locations=uniq_locs,
+            uniq_step_mask=uniq_mask,
+            step_index=step_index,
+            instr_tokens=instr_tokens,
+            instr_mask=instr_mask,
+            instr_targets=instr_targets,
+            segment_ids=segment_ids,
+            opt_mask=np.ones((nc,), bool),
+            ordering_target=np.zeros((0, self.args.max_path_length),
+                                     np.int32),
+            instr_id=instr_id,
+        )
+
     def _single_feature(self, scan_id, viewpoint, step_idx):
         heading = self.rng.uniform(-np.pi / 2, np.pi / 2)
         next_heading = self.rng.uniform(-np.pi / 2, np.pi / 2)
@@ -728,17 +833,21 @@ class BeamDataset:
                 target = np.tile(target, reps)[: self.num_beams]
                 selected_paths = (selected_paths * reps)[: self.num_beams]
 
+        iid = np.asarray([path_id, instruction_index], np.int64)
         if self.training and self.traj_judge_only:
             step_lists = self._traj_judge_features(
                 scan_id, heading, selected_paths, vln_index)
             feats = [self.assembler.stack(s) for s in step_lists]
+        elif self.step_dedup:
+            uniq_steps, step_index = self._dedup_step_features(
+                scan_id, selected_paths, heading)
+            return self._finalize_step_dedup(instr_tokens, uniq_steps,
+                                             step_index, target, iid)
         else:
             feats = [self._packed_path_features(scan_id, p, heading)
                      for p in selected_paths]
 
-        return self._finalize(instr_tokens, feats, target,
-                              np.asarray([path_id, instruction_index],
-                                         np.int64))
+        return self._finalize(instr_tokens, feats, target, iid)
 
     def _select_training_paths(self, vln_item, instruction_index, beam_paths,
                                success, vln_index):
@@ -820,6 +929,23 @@ class BeamDataset:
                 step_lists.append(steps)
         return step_lists
 
+    def _instruction_fields(self, instr_tokens, nc):
+        """Per-candidate instruction arrays (+ optional MLM masking).
+        NOTE: callers must invoke this AFTER any vision-masking rng draws
+        so the np_rng stream order matches the reference item assembly."""
+        instr_tokens = np.tile(instr_tokens[None, :], (nc, 1))
+        instr_mask = (instr_tokens > 0).astype(np.int32)
+        segment_ids = np.zeros_like(instr_tokens)
+        if self.masked_language:
+            instr_tokens, instr_targets = randomize_tokens_np(
+                instr_tokens, instr_mask, len(self.tok.vocab),
+                self.tok.vocab["[MASK]"], self.np_rng,
+                self.args.mask_action_rate)
+        else:
+            instr_targets = np.full_like(instr_tokens, -1)
+        return (instr_tokens.astype(np.int32, copy=False), instr_mask,
+                instr_targets.astype(np.int32, copy=False), segment_ids)
+
     def _finalize(self, instr_tokens, feats, target, instr_id):
         nc = len(feats)
         # fused cast-copy into the transport dtype (see PretrainDataset)
@@ -828,9 +954,6 @@ class BeamDataset:
         image_locations = np.stack([f[1] for f in feats])
         image_probs = np.stack([f[2] for f in feats])
         image_mask = np.stack([f[3] for f in feats])
-        instr_tokens = np.tile(instr_tokens[None, :], (nc, 1))
-        instr_mask = (instr_tokens > 0).astype(np.int32)
-        segment_ids = np.zeros_like(instr_tokens)
 
         image_targets_idx = None
         if self.masked_vision and self.sparse_vision_targets:
@@ -856,13 +979,9 @@ class BeamDataset:
         else:
             image_targets, image_targets_mask = unmasked_region_targets(
                 image_probs, image_mask)
-        if self.masked_language:
-            instr_tokens, instr_targets = randomize_tokens_np(
-                instr_tokens, instr_mask, len(self.tok.vocab),
-                self.tok.vocab["[MASK]"], self.np_rng,
-                self.args.mask_action_rate)
-        else:
-            instr_targets = np.full_like(instr_tokens, -1)
+        # AFTER the vision draws: np_rng order is vision-then-language
+        instr_tokens, instr_mask, instr_targets, segment_ids = \
+            self._instruction_fields(instr_tokens, nc)
 
         if self.training:
             ranking_target = np.int32(target)

@@ -152,7 +152,13 @@ BATCH_KEYS = ("ranking_target", "image_features", "image_locations",
               # branch): uniq_* arrays carry one row per UNIQUE trajectory
               # (a per-dataset constant < nc), the others stay per-candidate
               "uniq_image_features", "uniq_image_locations",
-              "uniq_image_mask", "cand_index", "feature_zero_mask")
+              "uniq_image_mask", "cand_index", "feature_zero_mask",
+              # beam-eval step-dedup transport (datasets.py:
+              # _finalize_step_dedup): uniq_step_* carry one row per
+              # UNIQUE (viewpoint, heading, step) pano block, already
+              # bucket-padded by the dataset; step_index is per-candidate
+              "uniq_step_features", "uniq_step_locations",
+              "uniq_step_mask", "step_index")
 
 
 def collate(samples: Sequence[Dict[str, np.ndarray]], nc: int,
@@ -177,7 +183,11 @@ def collate(samples: Sequence[Dict[str, np.ndarray]], nc: int,
             batch[k] = np.stack([np.asarray(s[k]) for s in samples])
             continue
         dtype = bool if k == "opt_mask" else v0.dtype
-        n0 = (nc_uniq or v0.shape[0]) if k.startswith("uniq_") else nc
+        # uniq_* rows: the dataset's static count when it has one, else
+        # the batch max (items bucket-pad their own uniq dims, so with
+        # bs > 1 mixed buckets pad up to the largest in the batch)
+        n0 = (nc_uniq or max(np.asarray(s[k]).shape[0] for s in samples)
+              ) if k.startswith("uniq_") else nc
         arr = np.empty((bs, n0) + v0.shape[1:], dtype)
         for i, s in enumerate(samples):
             v = np.asarray(s[k])

@@ -15,13 +15,13 @@ import numpy as np
 from ..config import LilyConfig
 from ..data.loader import Loader, device_prefetch
 from ..models import lily_forward
-from ..parallel.train_step import _flatten_candidates
+from ..parallel.train_step import _flatten_candidates, expand_beam_steps
 from ..training.losses import pad_packed
 
 
 def build_score_step(cfg: LilyConfig):
     def step(params, batch):
-        flat = _flatten_candidates(batch)
+        flat = _flatten_candidates(expand_beam_steps(batch))
         outputs = lily_forward(
             params, cfg, flat["instr_tokens"], flat["image_features"],
             flat["image_locations"], token_type_ids=flat["segment_ids"],

@@ -78,6 +78,36 @@ def _expand_dedup(batch: Dict[str, jnp.ndarray]):
     return out
 
 
+def expand_beam_steps(batch: Dict[str, jnp.ndarray]):
+    """--dedup_beam_steps transport -> dense per-beam visual arrays.
+
+    The loader ships each unique (viewpoint, heading, step) pano block
+    once (``uniq_step_*`` [B, n_u, boxes, ...]) plus ``step_index``
+    [B, nc, L]; the gather-expand runs here, on device, so the repeated
+    blocks never cross H2D (datasets.py:_dedup_step_features — eval beams
+    are a search tree over one graph neighborhood, reference
+    all_dataset.py:981-1041, and share most steps)."""
+    if "uniq_step_features" not in batch:
+        return batch
+    idx = batch["step_index"].astype(jnp.int32)      # [B, nc, L]
+    bs, nc, L = idx.shape
+
+    def gather(x):                                    # [B, n_u, boxes, ...]
+        boxes = x.shape[2]
+        fi = idx.reshape((bs, nc * L) + (1,) * (x.ndim - 2))
+        out = jnp.take_along_axis(x, fi, axis=1)
+        return out.reshape((bs, nc, L * boxes) + x.shape[3:])
+
+    out = dict(batch)
+    out["image_features"] = gather(batch["uniq_step_features"])
+    out["image_locations"] = gather(batch["uniq_step_locations"])
+    out["image_mask"] = gather(batch["uniq_step_mask"])
+    for k in ("uniq_step_features", "uniq_step_locations",
+              "uniq_step_mask", "step_index"):
+        del out[k]
+    return out
+
+
 def _flatten_candidates(batch: Dict[str, jnp.ndarray]):
     """[B, nc, ...] -> [B*nc, ...] for the model inputs."""
     def flat(x):
@@ -133,7 +163,7 @@ def fast_dropout_key(key):
 
 
 def loss_fn(params, cfg: LilyConfig, batch, tasks, rng, train: bool):
-    batch = _expand_dedup(batch)
+    batch = expand_beam_steps(_expand_dedup(batch))
     flat = _flatten_candidates(batch)
     instr_targets = _merge01(batch["instr_targets"])
     sparse_heads = tasks.get("sparse_task_heads", False)

