@@ -150,12 +150,29 @@ def get_parser() -> argparse.ArgumentParser:
                      help="disable the sparse (gathered) MLM/MVM head "
                           "compute; loss-identical, slower")
     tpu.add_argument("--sparse_vision_targets", action="store_true",
-                     default=False)
+                     default=True,
+                     help="ship only masked-region target rows (~10x "
+                          "smaller host batch; loss-exact) - DEFAULT ON")
+    tpu.add_argument("--no_sparse_vision_targets",
+                     dest="sparse_vision_targets", action="store_false",
+                     help="reference-shaped dense [nc, S, 1601] vision "
+                          "targets (for A/B transport comparisons)")
     tpu.add_argument("--dedup_candidates", action="store_true",
-                     default=False,
+                     default=None,
                      help="ship shared candidate trajectories' visual rows "
                           "once per sample + a gather index (expanded "
-                          "in-graph); needs --sparse_vision_targets")
+                          "in-graph, bit-exact); needs "
+                          "--sparse_vision_targets.  Default: follows "
+                          "sparse_vision_targets (i.e. ON)")
+    tpu.add_argument("--no_dedup_candidates", dest="dedup_candidates",
+                     action="store_false")
+    tpu.add_argument("--dedup_beam_steps", action="store_true",
+                     default=False,
+                     help="beam-eval transport: ship each unique "
+                          "(viewpoint, heading, step) pano block once per "
+                          "instruction + a per-beam step index, expanded "
+                          "in-graph (bit-exact; eval items, masked-vision "
+                          "off)")
     tpu.add_argument("--no_pallas", action="store_true", default=False)
     tpu.add_argument("--remat", action="store_true", default=False)
     tpu.add_argument("--profile_dir", default="", type=str)
