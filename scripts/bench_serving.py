@@ -118,6 +118,22 @@ def main():
             "beams_per_s": round(bs * nc / dt, 1),
             "instructions_per_s": round(bs / dt, 2),
         }
+        # forward-path MFU from XLA's own cost model (v5e bf16 peak
+        # 197 TF/s).  Same caveat as bench.py: cost_analysis counts the
+        # optimized HLO and EXCLUDES pallas_call bodies (custom calls are
+        # opaque), so with the fused attention kernels selected this is a
+        # LOWER bound; the kernel flops are ~4*bh*s_q*s_kv*d per layer.
+        try:
+            # step is already jitted (build_score_step) - lower() resolves
+            # from the compilation cache, no recompile
+            cost = step.lower(params, batch).compile().cost_analysis()
+            if isinstance(cost, (list, tuple)):
+                cost = cost[0]
+            if cost and cost.get("flops", 0) > 0:
+                results[f"bs{bs}"]["mfu_xla_lower_bound"] = round(
+                    float(cost["flops"]) / dt / 197e12, 3)
+        except Exception as e:  # noqa: BLE001 - analysis is best-effort
+            print(f"# cost_analysis unavailable: {e}", file=sys.stderr)
 
     if ns.dedup:
         L, boxes = 8, s_v // 8

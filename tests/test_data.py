@@ -392,6 +392,29 @@ def test_beam_step_dedup_collate_mixed_buckets(r2r_env):
     reader.close()
 
 
+def test_beam_step_dedup_worker_pool(r2r_env):
+    """--dedup_beam_steps batches must survive the fork-pool shm path
+    unchanged (worker-count deterministic) WITHOUT pickle fallbacks:
+    the slab is sized from probes spread across the epoch, so items in
+    a larger uniq-step bucket than item 0 still fit."""
+    _, dedup_ds, reader = _beam_eval_pair(r2r_env)
+    batches = {}
+    loaders = {}
+    for nw in (0, 2):
+        loaders[nw] = Loader(dedup_ds, batch_size=2, shuffle=False,
+                             drop_last=False, with_instr_id=True,
+                             num_workers=nw)
+        batches[nw] = list(loaders[nw])
+    assert len(batches[0]) == len(batches[2]) > 0
+    assert "uniq_step_features" in batches[0][0]
+    for b0, b2 in zip(batches[0], batches[2]):
+        assert set(b0) == set(b2)
+        for k in b0:
+            np.testing.assert_array_equal(b0[k], b2[k], err_msg=k)
+    assert loaders[2].shm_fallbacks == 0
+    reader.close()
+
+
 def test_beam_dataset_traj_judge_train(r2r_env):
     from youtube_vln_tpu.data.tokenizer import load_tokenizer
     tok = load_tokenizer(r2r_env["vocab_path"])

@@ -329,9 +329,19 @@ class Loader:
         slabs = []
         if self.use_shared_memory and tasks:
             from multiprocessing import shared_memory
-            probe = _get_item(*tasks[0])
-            slab_bytes = int(sum(np.asarray(v).nbytes
-                                 for v in probe.values()) * 1.25) + 4096
+            # size from several probes spread across the epoch, not just
+            # item 0: variable-size layouts (--dedup_beam_steps buckets
+            # uniq step blocks in multiples of STEP_BUCKET) vary by
+            # integer factors between items, which a single probe + 25%
+            # headroom cannot cover (every larger item would take the
+            # loud pickle-fallback cliff).  _get_item reseeds per item,
+            # so probing does not disturb worker determinism.
+            n = len(tasks)
+            probe_idx = sorted({0, n // 3, (2 * n) // 3, n - 1})
+            slab_bytes = 4096 + int(1.25 * max(
+                sum(np.asarray(v).nbytes for v in
+                    _get_item(*tasks[i]).values())
+                for i in probe_idx))
             n_slots = self.num_workers + self.batch_size + 2
             free_q = ctx.Queue()
             for i in range(n_slots):
