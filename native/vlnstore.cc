@@ -390,6 +390,140 @@ int vlnstore_gather_probs(void* handle, const char** keys,
   return 0;
 }
 
+}  // extern "C"
+
+namespace {
+
+// One pano step block (the per-step body of the pano packers): zeroes the
+// block, writes the synthesized global region (f64-accumulated feature
+// mean, sin/cos orientation vs the heading query) then the per-region
+// rows, with location column 11 = step_label on every row.  Exactly one
+// of f32/f16 is non-null (f16 goes through cvt_f32_to_f16, bit-matching
+// numpy astype(float16) of the f32 block); pr may be null (the
+// ranking-only eval path never reads class probabilities).  A null/empty
+// key emits the empty-step block (all zero except column 11 — matching
+// datasets.py:_PathFeatureAssembler.empty_step).  Returns 0 on success,
+// -1 on missing key / non-pano record.
+int pack_pano_block(const Handle* h, const char* key, double hd, double nh,
+                    int step_label, int max_boxes, float* f32, uint16_t* f16,
+                    float* l, float* pr, int32_t* m) {
+  if (key == nullptr || key[0] == '\0') {  // empty-step block
+    if (f32)
+      std::memset(f32, 0, sizeof(float) * (size_t)max_boxes * kFeatDim);
+    if (f16)
+      std::memset(f16, 0, sizeof(uint16_t) * (size_t)max_boxes * kFeatDim);
+    std::memset(l, 0, sizeof(float) * (size_t)max_boxes * kLocDim);
+    if (pr)
+      std::memset(pr, 0, sizeof(float) * (size_t)max_boxes * kProbDim);
+    std::memset(m, 0, sizeof(int32_t) * (size_t)max_boxes);
+    for (int b = 0; b < max_boxes; ++b)
+      l[b * kLocDim + 11] = (float)step_label;
+    return 0;
+  }
+
+  auto it = h->offsets.find(key);
+  if (it == h->offsets.end()) return -1;
+  const uint8_t* p = h->data + it->second;
+  RecHeader rh;
+  std::memcpy(&rh, p, sizeof(rh));
+  if (!(rh.flags & 1u)) return -1;  // FLAG_PANO (store.py:38)
+  p += sizeof(rh);
+  const uint32_t k = rh.num_boxes;
+  const float w = (float)rh.image_w, ih = (float)rh.image_h;
+  const float* features = reinterpret_cast<const float*>(p);
+  const float* boxes = features + (size_t)k * kFeatDim;
+  const float* cls_prob = boxes + (size_t)k * kBoxDim;
+  const float* after_probs = cls_prob + (size_t)k * kProbDim;
+  // pano tail: viewHeading[36], viewElevation[36], featHeading[k],
+  // featElevation[k], featViewIndex[k] (store.py:92-97)
+  const float* feat_heading = after_probs + 36 + 36;
+  const float* feat_elev = feat_heading + k;
+
+  // global region 0
+  double acc_local[kFeatDim];
+  std::memset(acc_local, 0, sizeof(acc_local));
+  for (uint32_t r = 0; r < k; ++r) {
+    const float* row = features + (size_t)r * kFeatDim;
+    for (int c = 0; c < kFeatDim; ++c) acc_local[c] += row[c];
+  }
+  if (k == 0) return -1;
+  static thread_local std::vector<float> mean_row;
+  mean_row.resize(kFeatDim);
+  for (int c = 0; c < kFeatDim; ++c)
+    mean_row[c] = (float)(acc_local[c] / (double)k);
+  if (f32) std::memcpy(f32, mean_row.data(), sizeof(float) * kFeatDim);
+  if (f16) cvt_f32_to_f16(mean_row.data(), f16, kFeatDim);
+  l[0] = 0.0f; l[1] = 0.0f; l[2] = 1.0f; l[3] = 1.0f; l[4] = 1.0f;
+  l[5] = (float)std::sin(0.0 - hd);
+  l[6] = (float)std::cos(0.0 - hd);
+  l[7] = 0.0f; l[8] = 1.0f;
+  l[9] = (float)std::sin(0.0 - nh);
+  l[10] = (float)std::cos(0.0 - nh);
+  l[11] = (float)step_label;
+  if (pr) {
+    const float uniform = 1.0f / (float)kProbDim;
+    for (int c = 0; c < kProbDim; ++c) pr[c] = uniform;
+  }
+  m[0] = 1;
+
+  int row = 1;
+  for (uint32_t r = 0; r < k && row < max_boxes; ++r, ++row) {
+    if (f32)
+      std::memcpy(f32 + (size_t)row * kFeatDim,
+                  features + (size_t)r * kFeatDim, sizeof(float) * kFeatDim);
+    if (f16)
+      cvt_f32_to_f16(features + (size_t)r * kFeatDim,
+                     f16 + (size_t)row * kFeatDim, kFeatDim);
+    const float* box = boxes + (size_t)r * kBoxDim;
+    float* lr = l + (size_t)row * kLocDim;
+    lr[0] = box[0] / w;
+    lr[1] = box[1] / ih;
+    lr[2] = box[2] / w;
+    lr[3] = box[3] / ih;
+    lr[4] = (box[2] - box[0]) * (box[3] - box[1]) / (w * ih);
+    const double fh = (double)feat_heading[r];
+    const double fe = (double)feat_elev[r];
+    lr[5] = (float)std::sin(fh - hd);
+    lr[6] = (float)std::cos(fh - hd);
+    lr[7] = (float)std::sin(fe);
+    lr[8] = (float)std::cos(fe);
+    lr[9] = (float)std::sin(fh - nh);
+    lr[10] = (float)std::cos(fh - nh);
+    lr[11] = (float)step_label;
+    if (pr)
+      std::memcpy(pr + (size_t)row * kProbDim,
+                  cls_prob + (size_t)r * kProbDim, sizeof(float) * kProbDim);
+    m[row] = 1;
+  }
+
+  // zero ONLY the unwritten padding tail (rows >= row): at eval geometry
+  // (k=100 regions + the global row = max_boxes) blocks are full, and a
+  // whole-block memset-then-overwrite would double the write traffic of
+  // the packer's dominant cost
+  size_t tail = (size_t)(max_boxes - row);
+  if (tail) {
+    if (f32)
+      std::memset(f32 + (size_t)row * kFeatDim, 0,
+                  sizeof(float) * tail * kFeatDim);
+    if (f16)
+      std::memset(f16 + (size_t)row * kFeatDim, 0,
+                  sizeof(uint16_t) * tail * kFeatDim);
+    std::memset(l + (size_t)row * kLocDim, 0,
+                sizeof(float) * tail * kLocDim);
+    if (pr)
+      std::memset(pr + (size_t)row * kProbDim, 0,
+                  sizeof(float) * tail * kProbDim);
+    std::memset(m + row, 0, sizeof(int32_t) * tail);
+    for (int b = row; b < max_boxes; ++b)
+      l[b * kLocDim + 11] = (float)step_label;
+  }
+  return 0;
+}
+
+}  // namespace
+
+extern "C" {
+
 // Pano variant (the R2R fine-tune hot loop,
 // features_reader.py:PanoFeaturesReader + datasets.py:_path_features):
 // one key per step with (heading, next_heading) queries; location columns
@@ -402,82 +536,43 @@ int vlnstore_pack_pano_path(void* handle, const char** keys,
                             float* locs, float* probs, int32_t* mask) {
   auto* h = static_cast<Handle*>(handle);
   for (int step = 0; step < max_steps; ++step) {
-    float* f = feats + (size_t)step * max_boxes * kFeatDim;
-    float* l = locs + (size_t)step * max_boxes * kLocDim;
-    float* pr = probs + (size_t)step * max_boxes * kProbDim;
-    int32_t* m = mask + (size_t)step * max_boxes;
-    std::memset(f, 0, sizeof(float) * (size_t)max_boxes * kFeatDim);
-    std::memset(l, 0, sizeof(float) * (size_t)max_boxes * kLocDim);
-    std::memset(pr, 0, sizeof(float) * (size_t)max_boxes * kProbDim);
-    std::memset(m, 0, sizeof(int32_t) * (size_t)max_boxes);
-    for (int b = 0; b < max_boxes; ++b) l[b * kLocDim + 11] = (float)step;
-    if (step >= n_steps) continue;
+    int ret = pack_pano_block(
+        h, step < n_steps ? keys[step] : nullptr,
+        step < n_steps ? headings[step] : 0.0,
+        step < n_steps ? next_headings[step] : 0.0, step, max_boxes,
+        feats + (size_t)step * max_boxes * kFeatDim, nullptr,
+        locs + (size_t)step * max_boxes * kLocDim,
+        probs + (size_t)step * max_boxes * kProbDim,
+        mask + (size_t)step * max_boxes);
+    if (ret != 0) return ret;
+  }
+  return 0;
+}
 
-    auto it = h->offsets.find(keys[step]);
-    if (it == h->offsets.end()) return -1;
-    const uint8_t* p = h->data + it->second;
-    RecHeader rh;
-    std::memcpy(&rh, p, sizeof(rh));
-    if (!(rh.flags & 1u)) return -1;  // FLAG_PANO (store.py:38)
-    p += sizeof(rh);
-    const uint32_t k = rh.num_boxes;
-    const float w = (float)rh.image_w, ih = (float)rh.image_h;
-    const float* features = reinterpret_cast<const float*>(p);
-    const float* boxes = features + (size_t)k * kFeatDim;
-    const float* cls_prob = boxes + (size_t)k * kBoxDim;
-    const float* after_probs = cls_prob + (size_t)k * kProbDim;
-    // pano tail: viewHeading[36], viewElevation[36], featHeading[k],
-    // featElevation[k], featViewIndex[k] (store.py:92-97)
-    const float* feat_heading = after_probs + 36 + 36;
-    const float* feat_elev = feat_heading + k;
-
-    const double hd = headings[step], nh = next_headings[step];
-
-    // global region 0
-    double acc_local[kFeatDim];
-    std::memset(acc_local, 0, sizeof(acc_local));
-    for (uint32_t r = 0; r < k; ++r) {
-      const float* row = features + (size_t)r * kFeatDim;
-      for (int c = 0; c < kFeatDim; ++c) acc_local[c] += row[c];
-    }
-    if (k == 0) return -1;
-    for (int c = 0; c < kFeatDim; ++c)
-      f[c] = (float)(acc_local[c] / (double)k);
-    l[0] = 0.0f; l[1] = 0.0f; l[2] = 1.0f; l[3] = 1.0f; l[4] = 1.0f;
-    l[5] = (float)std::sin(0.0 - hd);
-    l[6] = (float)std::cos(0.0 - hd);
-    l[7] = 0.0f; l[8] = 1.0f;
-    l[9] = (float)std::sin(0.0 - nh);
-    l[10] = (float)std::cos(0.0 - nh);
-    l[11] = (float)step;
-    const float uniform = 1.0f / (float)kProbDim;
-    for (int c = 0; c < kProbDim; ++c) pr[c] = uniform;
-    m[0] = 1;
-
-    int row = 1;
-    for (uint32_t r = 0; r < k && row < max_boxes; ++r, ++row) {
-      std::memcpy(f + (size_t)row * kFeatDim, features + (size_t)r * kFeatDim,
-                  sizeof(float) * kFeatDim);
-      const float* box = boxes + (size_t)r * kBoxDim;
-      float* lr = l + (size_t)row * kLocDim;
-      lr[0] = box[0] / w;
-      lr[1] = box[1] / ih;
-      lr[2] = box[2] / w;
-      lr[3] = box[3] / ih;
-      lr[4] = (box[2] - box[0]) * (box[3] - box[1]) / (w * ih);
-      const double fh = (double)feat_heading[r];
-      const double fe = (double)feat_elev[r];
-      lr[5] = (float)std::sin(fh - hd);
-      lr[6] = (float)std::cos(fh - hd);
-      lr[7] = (float)std::sin(fe);
-      lr[8] = (float)std::cos(fe);
-      lr[9] = (float)std::sin(fh - nh);
-      lr[10] = (float)std::cos(fh - nh);
-      lr[11] = (float)step;
-      std::memcpy(pr + (size_t)row * kProbDim,
-                  cls_prob + (size_t)r * kProbDim, sizeof(float) * kProbDim);
-      m[row] = 1;
-    }
+// Batched f16 pano STEP packer for the beam-eval/serving host path
+// (datasets.py:BeamDataset — both the dense per-beam layout and the
+// --dedup_beam_steps unique-block layout are lists of independent
+// (key, heading, next_heading, step-position) blocks): n_blocks blocks
+// written contiguously, block j -> rows [j*max_boxes, (j+1)*max_boxes),
+// features as IEEE half (the H2D transport dtype) straight from the
+// store, class probabilities never materialized (the ranking-only eval
+// batch carries no vision targets).  An empty key string emits the
+// empty-step block.  One C call replaces per-block ctypes dispatch +
+// stack + astype + pad on the python side.
+int vlnstore_pack_pano_steps_f16(void* handle, const char** keys,
+                                 const double* headings,
+                                 const double* next_headings,
+                                 const int32_t* step_labels, int n_blocks,
+                                 int max_boxes, uint16_t* feats, float* locs,
+                                 int32_t* mask) {
+  auto* h = static_cast<Handle*>(handle);
+  for (int j = 0; j < n_blocks; ++j) {
+    int ret = pack_pano_block(
+        h, keys[j], headings[j], next_headings[j], step_labels[j], max_boxes,
+        nullptr, feats + (size_t)j * max_boxes * kFeatDim,
+        locs + (size_t)j * max_boxes * kLocDim, nullptr,
+        mask + (size_t)j * max_boxes);
+    if (ret != 0) return ret;
   }
   return 0;
 }

@@ -584,20 +584,106 @@ def test_native_pack_pano_path_matches_python(tmp_path):
     reader.close()
 
 
+def test_native_pack_pano_steps_matches_per_block(tmp_path):
+    """The batched f16 STEP packer (one C call for n independent
+    (key, heading, next_heading, position) blocks — the beam-eval host
+    path) must bit-match the per-block route the dense item takes:
+    pack_pano_path + position fix + astype(float16); an empty key must
+    bit-match _PathFeatureAssembler.empty_step."""
+    from youtube_vln_tpu.data import fixtures as F
+    from youtube_vln_tpu.data.datasets import _PathFeatureAssembler
+    from youtube_vln_tpu.data.features_reader import PanoFeaturesReader
+
+    paths = F.build_r2r_fixture(tmp_path)
+    reader = PanoFeaturesReader(paths["store_path"])
+    ks = sorted(reader.keys)
+    # mixed real/empty blocks, repeated key at a different position
+    keys = [ks[0], ks[1], None, ks[0], None]
+    hs = [0.3, -1.2, 0.0, 2.5, 0.0]
+    nhs = [-1.2, 2.5, 0.0, 0.3, 0.0]
+    poss = [0, 2, 1, 3, 0]
+    out = reader.pack_pano_steps(keys, hs, nhs, poss, max_boxes=5)
+    if out is None:
+        pytest.skip("native library not built")
+    f, l, m = out
+    f = f.reshape(5, 5, 2048)
+    l = l.reshape(5, 5, 12)
+    m = m.reshape(5, 5)
+    asm = _PathFeatureAssembler(4, 5)
+    for j, (k, h, nh, pos) in enumerate(zip(keys, hs, nhs, poss)):
+        if k is None:
+            rf, rl, _, rm = asm.empty_step(pos)
+        else:
+            rf, rl, _, rm = reader.pack_pano_path([k], [h], [nh], 1, 5)
+            rl[:, 11] = pos
+        np.testing.assert_array_equal(f[j], rf.astype(np.float16))
+        np.testing.assert_array_equal(l[j], rl)
+        np.testing.assert_array_equal(m[j], rm)
+    reader.close()
+
+
+def test_eval_fast_item_matches_generic_path(r2r_env):
+    """The probs-free batched eval item (one native call, no [S_v,1601]
+    stack) must equal the generic _finalize item field-for-field —
+    features bit-exactly (F16C == numpy astype(float16))."""
+    from youtube_vln_tpu.data.tokenizer import load_tokenizer
+    tok = load_tokenizer(r2r_env["vocab_path"])
+    reader = PanoFeaturesReader(r2r_env["store_path"])
+    mk = lambda: BeamDataset(
+        _beam_args(), f"{r2r_env['data_dir']}/task/R2R_val_unseen.json",
+        f"{r2r_env['data_dir']}/beamsearch/beams_val_unseen.json",
+        tok, reader, num_beams=4, num_beams_strict=False,
+        training=False, masked_vision=False, masked_language=False,
+        shuffle_visual_features=False, data_dir=r2r_env["data_dir"], seed=0)
+    ds_fast = mk()
+    if ds_fast._packed_paths_f16("scan0", [["scan0_vp0"]], 0.0) is None:
+        pytest.skip("native library not built")
+    ds_ref = mk()
+    ds_ref.reader = _NoBatchReader(reader)
+    for i in (0, 1):
+        a, b = ds_fast[i], ds_ref[i]
+        assert set(a) == set(b)
+        for k in a:
+            np.testing.assert_array_equal(a[k], b[k], err_msg=k)
+            assert np.asarray(a[k]).dtype == np.asarray(b[k]).dtype, k
+    reader.close()
+
+
+class _NoBatchReader:
+    """Proxy hiding pack_pano_steps so BeamDataset takes the generic
+    per-candidate assembly path."""
+
+    def __init__(self, reader):
+        self._r = reader
+
+    def __getattr__(self, name):
+        if name == "pack_pano_steps":
+            raise AttributeError(name)
+        return getattr(self._r, name)
+
+    def __getitem__(self, q):
+        return self._r[q]
+
+
 def test_loader_shm_overflow_falls_back_loudly(caplog):
-    """Items bigger than the shared-memory slab (probed from item 0) must
-    arrive intact via the pickle fallback, with a warning + counter."""
+    """Items bigger than the shared-memory slab must arrive intact via
+    the pickle fallback, with a warning + counter.  The slab is sized
+    from probes at {0, n//3, 2n//3, n-1} (loader.py), so the oversized
+    items here sit at UNPROBED indices 1 and 3 — adversarial inputs can
+    always dodge a finite probe set, and this pins the cliff behavior."""
     import logging
+
+    big = {1, 3}
 
     class GrowingDataset:
         def __len__(self):
-            return 3
+            return 7        # probe indices: {0, 2, 4, 6}
 
         def num_candidates(self):
             return 1
 
         def __getitem__(self, i):
-            n = 8 if i == 0 else 100000   # items 1-2 overflow the slab
+            n = 100000 if i in big else 8
             return dict(
                 ranking_target=np.asarray(0, np.int32),
                 instr_tokens=np.full((1, n), i, np.int32),
@@ -612,12 +698,12 @@ def test_loader_shm_overflow_falls_back_loudly(caplog):
     with caplog.at_level(logging.WARNING,
                          logger="youtube_vln_tpu.data.loader"):
         batches = list(loader)
-    assert len(batches) == 3
+    assert len(batches) == 7
     assert loader.shm_fallbacks == 2
     assert any("shared-memory" in r.message for r in caplog.records)
     # fallback items arrived intact
     assert batches[1]["instr_tokens"].shape == (1, 1, 100000)
-    assert int(batches[2]["instr_tokens"][0, 0, 0]) == 2
+    assert int(batches[3]["instr_tokens"][0, 0, 0]) == 3
 
 
 def test_io_dtype_halves_feature_bytes(ytb_env):

@@ -702,16 +702,18 @@ class BeamDataset:
     STEP_BUCKET = 40
 
     def _dedup_step_features(self, scan_id, paths, first_heading):
-        """Unique per-step pano blocks + a [nc, L] gather index.
+        """Unique per-step pano block SPECS + a [nc, L] gather index.
 
         A step block is fully determined by (viewpoint, entry heading,
         next heading, step position) — the reader call plus the assembler
         padding take exactly these — so beams sharing a path prefix (the
         common case: beams are a search tree, all_dataset.py:981-1041)
         reuse each other's blocks, and every short path shares the same
-        empty-step block per position."""
+        empty-step block per position.  Specs are (store_key|None,
+        heading, next_heading, position); assembly happens batched in
+        _finalize_step_dedup (one native C call for the whole item)."""
         L = self.args.max_path_length
-        uniq, index_rows = [], []
+        specs, index_rows = [], []
         seen: Dict[tuple, int] = {}
         for path in paths:
             headings = get_headings(self.graphs[scan_id], path,
@@ -722,57 +724,67 @@ class BeamDataset:
                 key = (vp, float(headings[i]), float(next_headings[i]), i)
                 j = seen.get(key)
                 if j is None:
-                    j = len(uniq)
+                    j = len(specs)
                     seen[key] = j
-                    uniq.append(self._assemble_step(scan_id, vp,
-                                                    headings[i],
-                                                    next_headings[i], i))
+                    specs.append((f"{scan_id}-{vp}", headings[i],
+                                  next_headings[i], i))
                 row.append(j)
             for i in range(min(len(path), L), L):
                 key = (None, 0.0, 0.0, i)
                 j = seen.get(key)
                 if j is None:
-                    j = len(uniq)
+                    j = len(specs)
                     seen[key] = j
-                    uniq.append(self.assembler.empty_step(i))
+                    specs.append((None, 0.0, 0.0, i))
                 row.append(j)
             index_rows.append(row)
-        return uniq, np.asarray(index_rows, np.int32)
+        return specs, np.asarray(index_rows, np.int32)
 
-    def _assemble_step(self, scan_id, vp, heading, next_heading,
-                       step_idx: int):
+    def _assemble_step(self, key, heading, next_heading, step_idx: int):
         """One pano step block through the SAME code path as the dense
         item (the native packer when available): the global-region row is
         a mean over box features whose C accumulation order differs from
         numpy's pairwise summation by 1 f16 ulp, so mixing paths would
-        break the bit-exact dedup==dense guarantee."""
+        break the bit-exact dedup==dense guarantee.  key None -> the
+        empty-step block."""
+        if key is None:
+            return self.assembler.empty_step(step_idx)
         pack = getattr(self.reader, "pack_pano_path", None)
         if pack is not None:
-            packed = pack([f"{scan_id}-{vp}"], [heading], [next_heading],
+            packed = pack([key], [heading], [next_heading],
                           1, self.assembler.max_num_boxes)
             if packed is not None:
                 f, b, p, m = packed
                 b[:, 11] = step_idx   # the packer wrote position 0
                 return f, b, p, m
-        feats, locs, probs = self.reader[
-            f"{scan_id}-{vp}", heading, next_heading]
+        feats, locs, probs = self.reader[key, heading, next_heading]
         return self.assembler.pad_step(feats, locs, probs, step_idx)
 
-    def _finalize_step_dedup(self, instr_tokens, uniq_steps, step_index,
+    def _finalize_step_dedup(self, instr_tokens, specs, step_index,
                              target, instr_id):
         nc = step_index.shape[0]
-        f, b, _, m = zip(*uniq_steps)
-        uniq_feats = np.stack(f).astype(self.io_dtype, copy=False)
-        uniq_locs = np.stack(b)
-        uniq_mask = np.stack(m).astype(np.int32, copy=False)
-        n_u = len(uniq_steps)
+        boxes = self.assembler.max_num_boxes
+        n_u = len(specs)
         bucket = -(-n_u // self.STEP_BUCKET) * self.STEP_BUCKET
-        if bucket > n_u:
-            pad = bucket - n_u
-            wide = ((0, pad),) + ((0, 0),) * 2
-            uniq_feats = np.pad(uniq_feats, wide)
-            uniq_locs = np.pad(uniq_locs, wide)
-            uniq_mask = np.pad(uniq_mask, wide[:2])
+        # zeros, not empty: blocks past n_u are the bucket padding and
+        # must stay zero (the scorer's gather never reads them, but the
+        # collate/H2D ships them)
+        uniq_feats = np.zeros((bucket, boxes, 2048), self.io_dtype)
+        uniq_locs = np.zeros((bucket, boxes, 12), np.float32)
+        uniq_mask = np.zeros((bucket, boxes), np.int32)
+        packed = None
+        if self.io_dtype == np.float16:
+            pack = getattr(self.reader, "pack_pano_steps", None)
+            if pack is not None:
+                keys, hs, nhs, poss = zip(*specs)
+                packed = pack(keys, hs, nhs, poss, boxes,
+                              out=(uniq_feats, uniq_locs, uniq_mask))
+        if packed is None:   # python / f32 / multi-shard fallback
+            for j, (key, hd, nh, pos) in enumerate(specs):
+                f, b, _, m = self._assemble_step(key, hd, nh, pos)
+                uniq_feats[j] = f
+                uniq_locs[j] = b
+                uniq_mask[j] = m
         instr_tokens, instr_mask, instr_targets, segment_ids = \
             self._instruction_fields(instr_tokens, nc)
         return dict(
@@ -784,6 +796,64 @@ class BeamDataset:
             instr_tokens=instr_tokens,
             instr_mask=instr_mask,
             instr_targets=instr_targets,
+            segment_ids=segment_ids,
+            opt_mask=np.ones((nc,), bool),
+            ordering_target=np.zeros((0, self.args.max_path_length),
+                                     np.int32),
+            instr_id=instr_id,
+        )
+
+    def _packed_paths_f16(self, scan_id, paths, first_heading):
+        """All candidates' step blocks in ONE native call (f16 features,
+        f32 locations, i32 mask; class probabilities never materialized —
+        the ranking-only eval item reads none, and the [nc, S_v, 1601]
+        probs stack was ~60% of the dense item's host bytes at flagship
+        eval geometry).  None -> caller takes the generic path."""
+        pack = getattr(self.reader, "pack_pano_steps", None)
+        if pack is None:
+            return None
+        L = self.args.max_path_length
+        boxes = self.assembler.max_num_boxes
+        keys, hs, nhs, poss = [], [], [], []
+        for path in paths:
+            headings = get_headings(self.graphs[scan_id], path,
+                                    first_heading)
+            next_headings = headings[1:] + [headings[-1]]
+            n = min(len(path), L)
+            for i in range(n):
+                keys.append(f"{scan_id}-{path[i]}")
+                hs.append(headings[i])
+                nhs.append(next_headings[i])
+                poss.append(i)
+            for i in range(n, L):
+                keys.append(None)
+                hs.append(0.0)
+                nhs.append(0.0)
+                poss.append(i)
+        nc = len(paths)
+        # every block is written by the native call — empty init is safe
+        f = np.empty((nc, L * boxes, 2048), np.float16)
+        l = np.empty((nc, L * boxes, 12), np.float32)
+        m = np.empty((nc, L * boxes), np.int32)
+        return pack(keys, hs, nhs, poss, boxes, out=(f, l, m))
+
+    def _finalize_eval_fast(self, instr_tokens, packed, target, instr_id):
+        """_finalize for the probs-free eval layout (same output dict,
+        minus the vision-target fields the gate already excludes)."""
+        image_features, image_locations, image_mask = packed
+        nc = image_features.shape[0]
+        instr_tokens, instr_mask, instr_targets, segment_ids = \
+            self._instruction_fields(instr_tokens, nc)
+        ranking_target = (np.int32(target) if self.training
+                         else np.asarray(target, np.float32))
+        return dict(
+            ranking_target=ranking_target,
+            image_features=image_features,
+            image_locations=image_locations,
+            image_mask=image_mask,
+            instr_tokens=instr_tokens.astype(np.int32, copy=False),
+            instr_mask=instr_mask,
+            instr_targets=instr_targets.astype(np.int32, copy=False),
             segment_ids=segment_ids,
             opt_mask=np.ones((nc,), bool),
             ordering_target=np.zeros((0, self.args.max_path_length),
@@ -839,11 +909,25 @@ class BeamDataset:
                 scan_id, heading, selected_paths, vln_index)
             feats = [self.assembler.stack(s) for s in step_lists]
         elif self.step_dedup:
-            uniq_steps, step_index = self._dedup_step_features(
+            specs, step_index = self._dedup_step_features(
                 scan_id, selected_paths, heading)
-            return self._finalize_step_dedup(instr_tokens, uniq_steps,
+            return self._finalize_step_dedup(instr_tokens, specs,
                                              step_index, target, iid)
         else:
+            if (not self.masked_vision and not self.emit_vision_targets
+                    and not self.masked_language
+                    and self.io_dtype == np.float16):
+                # ranking-only item: skip the probs stack entirely and
+                # pack all candidates' blocks in one native call.  The
+                # masked_language exclusion is caution, not correctness
+                # (no vision rng draws happen on either path) — it keeps
+                # every MLM-bearing item on the single reference-shaped
+                # assembly path.
+                packed = self._packed_paths_f16(scan_id, selected_paths,
+                                                heading)
+                if packed is not None:
+                    return self._finalize_eval_fast(instr_tokens, packed,
+                                                    target, iid)
             feats = [self._packed_path_features(scan_id, p, heading)
                      for p in selected_paths]
 

@@ -219,3 +219,24 @@ class PanoFeaturesReader(FeaturesReader):
             return None
         return self._stores[first].pack_pano_path(
             keys, headings, next_headings, max_steps, max_boxes)
+
+    def pack_pano_steps(self, keys, headings, next_headings, steps,
+                        max_boxes: int, out=None):
+        """Native batched single-step packer for the beam-eval host path
+        (store.py:pack_pano_steps_f16) — None/empty keys emit the
+        empty-step block; all real keys must live in one shard (returns
+        None otherwise, like pack_pano_path).  f16 features, no probs."""
+        first = None
+        for k in keys:
+            if not k:
+                continue
+            idx = self._by_key.get(k)
+            if idx is None:
+                raise KeyError(f"invalid key: {k}")
+            if first is None:
+                first = idx
+            elif idx != first:
+                return None
+        store = self._stores[first if first is not None else 0]
+        return store.pack_pano_steps_f16(keys, headings, next_headings,
+                                         steps, max_boxes, out=out)

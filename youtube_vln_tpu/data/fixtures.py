@@ -228,9 +228,11 @@ def build_full_fixture(data_dir, *, seed: int = 0) -> Dict[str, str]:
 # --------------------------------------------------------------------------- #
 def build_r2r_fixture(root, *, n_scans: int = 2, n_viewpoints: int = 9,
                       n_paths: int = 5, n_beams: int = 4, path_len: int = 4,
-                      seed: int = 0) -> Dict[str, str]:
-    """Connectivity graphs (3x3 grids), distances, R2R task JSONs, beam
-    JSONs, pano feature store, vocab."""
+                      k_boxes: int = 4, seed: int = 0) -> Dict[str, str]:
+    """Connectivity graphs (grid scans), distances, R2R task JSONs, beam
+    JSONs, pano feature store, vocab.  ``k_boxes``/``n_beams``/``path_len``
+    let perf harnesses build the FLAGSHIP eval geometry (100 boxes + the
+    global row, 30 beams, 8 steps — scripts/bench_loader.py --eval)."""
     root = Path(root)
     (root / "connectivity").mkdir(parents=True, exist_ok=True)
     (root / "distances").mkdir(exist_ok=True)
@@ -274,7 +276,7 @@ def build_r2r_fixture(root, *, n_scans: int = 2, n_viewpoints: int = 9,
             json.dump(compute_distances(graphs[scan]), fh)
 
     store_path = root / "matterport.vlnstore"
-    write_store(store_path, pano_keys, pano=True, seed=seed)
+    write_store(store_path, pano_keys, k_boxes=k_boxes, pano=True, seed=seed)
 
     # R2R items + beams per split
     def random_path(scan, length, start=None):

@@ -187,6 +187,19 @@ def _load_native() -> Optional[ctypes.CDLL]:
             ctypes.POINTER(ctypes.c_float),
             ctypes.POINTER(ctypes.c_int32),
         ]
+    if hasattr(dll, "vlnstore_pack_pano_steps_f16"):
+        dll.vlnstore_pack_pano_steps_f16.restype = ctypes.c_int
+        dll.vlnstore_pack_pano_steps_f16.argtypes = [
+            ctypes.c_void_p,
+            ctypes.POINTER(ctypes.c_char_p),
+            ctypes.POINTER(ctypes.c_double),
+            ctypes.POINTER(ctypes.c_double),
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.c_int, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_uint16),
+            ctypes.POINTER(ctypes.c_float),
+            ctypes.POINTER(ctypes.c_int32),
+        ]
     return dll
 
 
@@ -391,6 +404,48 @@ class Store:
         if ret != 0:
             return None
         return f, l, p, m
+
+    def pack_pano_steps_f16(self, keys, headings, next_headings, steps,
+                            max_boxes: int, out=None):
+        """Batched single-step pano packer for the beam-eval host path
+        (native/vlnstore.cc:vlnstore_pack_pano_steps_f16): n independent
+        (key, heading, next_heading, step-position) blocks written in one
+        C call — f16 features (bit-matching astype(float16) of the f32
+        pack), f32 locations, int32 mask, NO class probabilities.  A None
+        or empty key emits the empty-step block.  ``out`` may carry
+        preallocated C-contiguous (f16, locs, mask) arrays with at least
+        n*max_boxes leading rows (e.g. the bucket-padded item buffers);
+        rows past n*max_boxes are left untouched.  Returns (f, l, m) or
+        None when the native library is unavailable."""
+        if self._native is None or self._handle is None or \
+                not hasattr(self._native, "vlnstore_pack_pano_steps_f16"):
+            return None
+        n_blocks = len(keys)
+        keys_arr = (ctypes.c_char_p * n_blocks)(
+            *[(k or "").encode() for k in keys])
+        h_arr = (ctypes.c_double * n_blocks)(*[float(x) for x in headings])
+        nh_arr = (ctypes.c_double * n_blocks)(
+            *[float(x) for x in next_headings])
+        s_arr = (ctypes.c_int32 * n_blocks)(*[int(x) for x in steps])
+        n = n_blocks * max_boxes
+        if out is None:
+            f = np.empty((n, 2048), np.float16)
+            l = np.empty((n, 12), np.float32)
+            m = np.empty((n,), np.int32)
+        else:
+            f, l, m = out
+            assert all(a.flags.c_contiguous for a in (f, l, m))
+            assert f.dtype == np.float16 and l.dtype == np.float32 \
+                and m.dtype == np.int32
+        ret = self._native.vlnstore_pack_pano_steps_f16(
+            self._handle, keys_arr, h_arr, nh_arr, s_arr, n_blocks,
+            max_boxes,
+            f.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)),
+            l.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            m.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
+        if ret != 0:
+            return None
+        return f, l, m
 
     def close(self):
         if self._handle and self._native is not None:
