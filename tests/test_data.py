@@ -415,6 +415,29 @@ def test_beam_step_dedup_worker_pool(r2r_env):
     reader.close()
 
 
+def test_beam_dense_worker_pool(r2r_env):
+    """Dense beam-eval batches (which now assemble through the batched
+    native f16 packer) must survive the fork-pool shm path unchanged.
+    No zero-fallback assert: items are constant-size here, so a fallback
+    can only be the documented slot-starvation degrade (free-queue
+    timeout under CPU contention), which still delivers identical
+    data — exactly what this test pins."""
+    dense_ds, _, reader = _beam_eval_pair(r2r_env)
+    batches = {}
+    for nw in (0, 2):
+        loader = Loader(dense_ds, batch_size=2, shuffle=False,
+                        drop_last=False, with_instr_id=True,
+                        num_workers=nw)
+        batches[nw] = list(loader)
+    assert len(batches[0]) == len(batches[2]) > 0
+    assert batches[0][0]["image_features"].dtype == np.float16
+    for b0, b2 in zip(batches[0], batches[2]):
+        assert set(b0) == set(b2)
+        for k in b0:
+            np.testing.assert_array_equal(b0[k], b2[k], err_msg=k)
+    reader.close()
+
+
 def test_beam_dataset_traj_judge_train(r2r_env):
     from youtube_vln_tpu.data.tokenizer import load_tokenizer
     tok = load_tokenizer(r2r_env["vocab_path"])
@@ -556,9 +579,13 @@ def test_native_pack_path_matches_python(ytb_env):
     two.close()
 
 
-def test_native_pack_pano_path_matches_python(tmp_path):
+@pytest.mark.parametrize("max_boxes", [5, 9])
+def test_native_pack_pano_path_matches_python(tmp_path, max_boxes):
     """The pano variant of the C++ packer (heading/elevation trig in the
-    location columns) must match reader[(key, h, nh)] + pad_step + stack."""
+    location columns) must match reader[(key, h, nh)] + pad_step + stack.
+    max_boxes=5 fills every block (4 regions + the global row);
+    max_boxes=9 leaves a padding tail, exercising the tail-only zeroing
+    path (the packer no longer pre-zeroes rows it is about to write)."""
     from youtube_vln_tpu.data import fixtures as F
     from youtube_vln_tpu.data.datasets import _PathFeatureAssembler
     from youtube_vln_tpu.data.features_reader import PanoFeaturesReader
@@ -569,11 +596,11 @@ def test_native_pack_pano_path_matches_python(tmp_path):
     headings = [0.3, -1.2, 2.5]
     next_h = [-1.2, 2.5, 2.5]
     packed = reader.pack_pano_path(keys, headings, next_h, max_steps=4,
-                                   max_boxes=5)
+                                   max_boxes=max_boxes)
     if packed is None:
         pytest.skip("native library not built")
     f, l, p, m = packed
-    asm = _PathFeatureAssembler(4, 5)
+    asm = _PathFeatureAssembler(4, max_boxes)
     steps = [asm.pad_step(*reader[(k, h, nh)], i)
              for i, (k, h, nh) in enumerate(zip(keys, headings, next_h))]
     f2, l2, p2, m2 = asm.stack(steps)
@@ -584,12 +611,15 @@ def test_native_pack_pano_path_matches_python(tmp_path):
     reader.close()
 
 
-def test_native_pack_pano_steps_matches_per_block(tmp_path):
+@pytest.mark.parametrize("max_boxes", [5, 9])
+def test_native_pack_pano_steps_matches_per_block(tmp_path, max_boxes):
     """The batched f16 STEP packer (one C call for n independent
     (key, heading, next_heading, position) blocks — the beam-eval host
-    path) must bit-match the per-block route the dense item takes:
-    pack_pano_path + position fix + astype(float16); an empty key must
-    bit-match _PathFeatureAssembler.empty_step."""
+    path) must bit-match the PYTHON per-block route: pad_step + position
+    + astype(float16); an empty key must bit-match empty_step.
+    max_boxes=9 leaves a padding tail (fixture records have 4 regions +
+    the global row), exercising the tail-only zeroing path against an
+    oracle that does not share it."""
     from youtube_vln_tpu.data import fixtures as F
     from youtube_vln_tpu.data.datasets import _PathFeatureAssembler
     from youtube_vln_tpu.data.features_reader import PanoFeaturesReader
@@ -602,23 +632,39 @@ def test_native_pack_pano_steps_matches_per_block(tmp_path):
     hs = [0.3, -1.2, 0.0, 2.5, 0.0]
     nhs = [-1.2, 2.5, 0.0, 0.3, 0.0]
     poss = [0, 2, 1, 3, 0]
-    out = reader.pack_pano_steps(keys, hs, nhs, poss, max_boxes=5)
+    out = reader.pack_pano_steps(keys, hs, nhs, poss, max_boxes=max_boxes)
     if out is None:
         pytest.skip("native library not built")
     f, l, m = out
-    f = f.reshape(5, 5, 2048)
-    l = l.reshape(5, 5, 12)
-    m = m.reshape(5, 5)
-    asm = _PathFeatureAssembler(4, 5)
+    f = f.reshape(5, max_boxes, 2048)
+    l = l.reshape(5, max_boxes, 12)
+    m = m.reshape(5, max_boxes)
+    asm = _PathFeatureAssembler(4, max_boxes)
     for j, (k, h, nh, pos) in enumerate(zip(keys, hs, nhs, poss)):
         if k is None:
             rf, rl, _, rm = asm.empty_step(pos)
+            nf, nl, nm = rf.astype(np.float16), rl, rm
         else:
-            rf, rl, _, rm = reader.pack_pano_path([k], [h], [nh], 1, 5)
-            rl[:, 11] = pos
-        np.testing.assert_array_equal(f[j], rf.astype(np.float16))
-        np.testing.assert_array_equal(l[j], rl)
+            # python oracle: f16-appropriate tolerance (the C f64-mean
+            # global row differs from numpy's pairwise mean by <=1 f32
+            # ulp, which can flip an f16 bit)
+            rf, rl, _, rm = asm.pad_step(*reader[(k, h, nh)], pos)
+            # native per-block route: the dense item's path — BIT-exact
+            # (this is the dedup==dense transport contract)
+            nf32, nl, _, nm = reader.pack_pano_path([k], [h], [nh], 1,
+                                                    max_boxes)
+            nl[:, 11] = pos
+            nf = nf32.astype(np.float16)
+        np.testing.assert_allclose(f[j].astype(np.float32), rf, atol=2e-3)
+        np.testing.assert_allclose(l[j], rl, atol=2e-6)
         np.testing.assert_array_equal(m[j], rm)
+        np.testing.assert_array_equal(f[j], nf)
+        np.testing.assert_array_equal(l[j], nl)
+        np.testing.assert_array_equal(m[j], nm)
+        # the padding tail must be exactly zero (tail-only memset path)
+        rows = int(rm.sum())
+        assert not f[j, rows:].any() and not m[j, rows:].any()
+        np.testing.assert_array_equal(l[j, rows:, :11], 0.0)
     reader.close()
 
 
