@@ -330,7 +330,10 @@ def test_beam_step_dedup_item_expands_to_dense(r2r_env):
         nc, L = idx.shape
         n_u = dedup["uniq_step_features"].shape[0]
         assert idx.max() < n_u
-        assert n_u % BeamDataset.STEP_BUCKET == 0  # bucket-padded
+        # bucket-padded, but never past the dense slot count (else small
+        # geometries would ship MORE bytes than the dense layout)
+        assert n_u % BeamDataset.STEP_BUCKET == 0 or n_u == nc * L
+        assert n_u <= nc * L
         B = dedup["uniq_step_features"].shape[1]
         for uk, dk in (("uniq_step_features", "image_features"),
                        ("uniq_step_locations", "image_locations"),
@@ -665,6 +668,29 @@ def test_native_pack_pano_steps_matches_per_block(tmp_path, max_boxes):
         rows = int(rm.sum())
         assert not f[j, rows:].any() and not m[j, rows:].any()
         np.testing.assert_array_equal(l[j, rows:, :11], 0.0)
+    reader.close()
+
+
+def test_native_pack_pano_steps_rejects_undersized_out(tmp_path):
+    """The batched packer writes n_blocks*max_boxes rows through raw
+    pointers — an undersized caller-provided ``out`` must fail the
+    capacity assert (a Python error), never reach C (heap corruption)."""
+    from youtube_vln_tpu.data import fixtures as F
+    from youtube_vln_tpu.data.features_reader import PanoFeaturesReader
+
+    paths = F.build_r2r_fixture(tmp_path)
+    reader = PanoFeaturesReader(paths["store_path"])
+    ks = sorted(reader.keys)[:2]
+    if reader.pack_pano_steps(ks, [0.0, 0.1], [0.1, 0.2], [0, 1],
+                              max_boxes=5) is None:
+        reader.close()
+        pytest.skip("native library not built")
+    short = (np.zeros((1, 5, 2048), np.float16),   # 1 block < 2 blocks
+             np.zeros((2, 5, 12), np.float32),
+             np.zeros((2, 5), np.int32))
+    with pytest.raises(AssertionError):
+        reader.pack_pano_steps(ks, [0.0, 0.1], [0.1, 0.2], [0, 1],
+                               max_boxes=5, out=short)
     reader.close()
 
 

@@ -30,6 +30,16 @@ GEOM = ["--max_instruction_length", "32", "--max_path_length", "4",
         "--learning_rate", "1e-4", "--batch_size", "2", "--num_workers", "0"]
 
 
+def require(env, key, producer):
+    """This module is an intentional workflow chain (pretrain -> train ->
+    eval); downstream tests consume upstream artifacts via the module
+    fixture.  Under `-k` selection or reordering the producer may not have
+    run — skip loudly instead of KeyError-ing."""
+    if key not in env:
+        pytest.skip(f"needs {key!r} from {producer} — run the full module")
+    return env[key]
+
+
 def common_flags(env):
     return GEOM + [
         "--data_dir", env["data_dir"],
@@ -77,7 +87,8 @@ def test_checkpoint_loads_in_reference(env):
     model = Lily(ref_cfg)
 
     import torch
-    payload = torch.load(env["pretrained"], map_location="cpu",
+    payload = torch.load(require(env, "pretrained", "test_pretrain_entry"),
+                         map_location="cpu",
                          weights_only=False)
     missing, unexpected = model.load_state_dict(payload["model_state_dict"],
                                                 strict=False)
@@ -90,7 +101,7 @@ def test_train_entry(env):
     train = load_entry('train')
     best_seen, best_unseen = train.main(common_flags(env) + [
         "--ranking", "--shuffle_visual_features", "--save_name", "ft",
-        "--from_pretrained", env["pretrained"]])
+        "--from_pretrained", require(env, "pretrained", "test_pretrain_entry")])
     assert 0.0 <= best_seen <= 1.0 and 0.0 <= best_unseen <= 1.0
     ckpts = list((Path(env["root"]) / "result" / "ft" / "data").glob("*.bin"))
     assert any("best_unseen" in c.name for c in ckpts)
@@ -103,7 +114,7 @@ def test_test_entry_and_metrics(env):
     test_entry = load_entry('test')
     results_path = test_entry.main(common_flags(env) + [
         "--split", "val_unseen", "--save_name", "ev",
-        "--from_pretrained", env["finetuned"]])
+        "--from_pretrained", require(env, "finetuned", "test_train_entry")])
     results = json.load(open(results_path))
     assert len(results) > 0
     assert all("instr_id" in r and "trajectory" in r for r in results)
@@ -129,11 +140,13 @@ def test_test_entry_dedup_beam_steps(env):
     identical inputs (f32 here), and padded beams are -inf either way
     (losses.pad_packed), so scores AND trajectories are equal."""
     from conftest import load_entry
+    finetuned = require(env, "finetuned", "test_train_entry")
+    dense = require(env, "ev_results", "test_test_entry_and_metrics")
     test_entry = load_entry('test')
     results_path = test_entry.main(common_flags(env) + [
         "--split", "val_unseen", "--save_name", "evdd",
-        "--dedup_beam_steps", "--from_pretrained", env["finetuned"]])
-    dense_dir, dedup_dir = (Path(env["ev_results"]).parent,
+        "--dedup_beam_steps", "--from_pretrained", finetuned])
+    dense_dir, dedup_dir = (Path(dense).parent,
                             Path(results_path).parent)
     for name in ("_scores_val_unseen.json", "_results_val_unseen.json"):
         with open(dense_dir / name) as f:
@@ -163,7 +176,7 @@ def test_resume(env):
     best = pretrain.main(common_flags(env) + [
         "--pre_dataset", "ytb", "--prefix", "merge+", "--ranking",
         "--save_name", "res", "--save_epochs", "1", "--resume",
-        "--from_pretrained", env["pretrained"]])
+        "--from_pretrained", require(env, "pretrained", "test_pretrain_entry")])
     # resumed at epoch 2 with num_epochs=2 -> no training epochs run, but
     # the entry completes and returns the best dict
     assert "ranking" in best

@@ -765,7 +765,11 @@ class BeamDataset:
         nc = step_index.shape[0]
         boxes = self.assembler.max_num_boxes
         n_u = len(specs)
-        bucket = -(-n_u // self.STEP_BUCKET) * self.STEP_BUCKET
+        # cap at the dense slot count: n_u <= nc*L always, and without the
+        # cap a small geometry (few beams / short paths) would pad past the
+        # dense layout and ship MORE bytes than the transport it replaces
+        bucket = min(-(-n_u // self.STEP_BUCKET) * self.STEP_BUCKET,
+                     nc * self.args.max_path_length)
         # zeros, not empty: blocks past n_u are the bucket padding and
         # must stay zero (the scorer's gather never reads them, but the
         # collate/H2D ships them)

@@ -214,11 +214,13 @@ class Loader:
     deterministic in (seed, epoch, index) regardless of worker count.
     Sizing guidance (scripts/bench_loader.py, measured on a weak
     single-core host — real TPU-VM cores are several times faster): item
-    assembly ~95 ms (=74 traj/s/worker); collate runs in the CONSUMER
-    process and is memory-bandwidth-bound (~740 MB/batch of cold copies:
-    ~1.3 s on this throttled core, ~70 ms at a real host's >10 GB/s), so
-    it does not bottleneck multi-worker scaling there.  A v5e chip
-    consumes ~209 traj/s -> plan ~4-6 workers per chip.  On starved
+    assembly ~29 ms with the native f16 packer + candidate dedup
+    (=~150 traj/s/worker; 95 ms/74 traj/s without them); collate runs in
+    the CONSUMER process and is memory-bandwidth-bound (~740 MB/batch of
+    cold copies: ~1.3 s on this throttled core, ~70 ms at a real host's
+    >10 GB/s), so it does not bottleneck multi-worker scaling there.  A
+    v5e chip consumes ~210 traj/s -> plan ~2 workers per chip at the
+    default transport (~4-6 with --no_sparse_vision_targets).  On starved
     hosts leave num_workers=0 — the transport overhead cannot be
     amortized without CPUs.  Items that overflow the shared-memory slabs
     fall back to pickling LOUDLY (warning + ``shm_fallbacks`` counter).

@@ -437,6 +437,11 @@ class Store:
             assert all(a.flags.c_contiguous for a in (f, l, m))
             assert f.dtype == np.float16 and l.dtype == np.float32 \
                 and m.dtype == np.int32
+            # the C call writes n_blocks*max_boxes rows of (2048/12/1)
+            # through raw pointers — undersized buffers would corrupt the
+            # heap, not raise (callers pass row-major [blocks, boxes, d]
+            # or [rows, d] views; only total capacity matters)
+            assert f.size >= n * 2048 and l.size >= n * 12 and m.size >= n
         ret = self._native.vlnstore_pack_pano_steps_f16(
             self._handle, keys_arr, h_arr, nh_arr, s_arr, n_blocks,
             max_boxes,

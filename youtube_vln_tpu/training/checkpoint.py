@@ -113,6 +113,12 @@ def resolve_pretrained(path_or_url) -> Tuple[str, Optional[str]]:
         return os.path.join(resolved, "pytorch_model.bin"), None
     if resolved.endswith((".bin", ".pth", ".pt")):
         return resolved, None
+    # a missing path is a path problem, not a format problem — report it
+    # before the tar branch can fold it into "not a recognized checkpoint"
+    if not os.path.exists(resolved):
+        raise FileNotFoundError(
+            f"checkpoint not found: {resolved!r} (from --from_pretrained "
+            f"{path!r})")
     tempdir = tempfile.mkdtemp()
     logger.info("extracting archive file %s to temp dir %s", resolved,
                 tempdir)
