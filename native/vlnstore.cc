@@ -68,7 +68,8 @@ void* vlnstore_open(const char* path) {
 
   Header hdr;
   std::memcpy(&hdr, h->data, sizeof(hdr));
-  if (std::memcmp(hdr.magic, kMagic, 8) != 0 || hdr.version != 1) {
+  if (std::memcmp(hdr.magic, kMagic, 8) != 0 || hdr.version != 1 ||
+      hdr.index_offset > h->size) {  // truncated/corrupt index
     ::munmap(map, st.st_size);
     ::close(fd);
     delete h;

@@ -155,6 +155,42 @@ def test_grad_accumulation_equivalence(setup, rng):
     assert changed, "step was a no-op: nothing was actually compared"
 
 
+def test_grad_accum_metric_scale(rng):
+    """Under accumulation, loss/* stay per-microbatch MEANS but correct/*
+    counts are SUMMED over microbatches — the logged count must cover the
+    same row total whatever the accumulation factor (dividing counts by
+    accum made accuracy curves incomparable across accum settings).
+    Zero dropout so the two routes see bit-identical per-row math and the
+    counts match EXACTLY."""
+    cfg = tiny_config(ranking=True, traj_judge=True, hidden_dropout_prob=0.0,
+                      attention_probs_dropout_prob=0.0,
+                      v_attention_probs_dropout_prob=0.0,
+                      v_hidden_dropout_prob=0.0, fusion_dropout_prob=0.0)
+    params = init_lily_params(jax.random.PRNGKey(0), cfg)
+    args1 = RunConfig(ranking=True, traj_judge=True, pretrain=True,
+                      learning_rate=1e-3, gradient_accumulation_steps=1,
+                      ConstantLR=True)
+    args2 = RunConfig(ranking=True, traj_judge=True, pretrain=True,
+                      learning_rate=1e-3, gradient_accumulation_steps=2,
+                      ConstantLR=True)
+    full = make_batch(rng, 8, 3, 8, 10, cfg)
+    micro = jax.tree_util.tree_map(
+        lambda x: x.reshape((2, 4) + x.shape[1:]), full)
+    state1, tx1, _ = ts.create_train_state(params, args1, 10)
+    _, m1 = jax.jit(ts.build_train_step(cfg, args1, tx1))(
+        state1, full, jax.random.PRNGKey(3))
+    state2, tx2, _ = ts.create_train_state(params, args2, 10)
+    _, m2 = jax.jit(ts.build_train_step(cfg, args2, tx2))(
+        state2, micro, jax.random.PRNGKey(3))
+    assert any(k.startswith("correct/") for k in m1)
+    for k in m1:
+        a, b = float(np.asarray(m1[k])), float(np.asarray(m2[k]))
+        if k.startswith("correct/"):
+            np.testing.assert_allclose(b, a, atol=1e-5, err_msg=k)
+        else:
+            np.testing.assert_allclose(b, a, rtol=1e-4, err_msg=k)
+
+
 def test_mesh_shape_cli_entry(tmp_path):
     """--mesh_shape 4 2 drives the full pretrain entry on a dataxmodel
     mesh (engine builds the mesh from RunConfig.mesh_shape; previously only

@@ -105,13 +105,12 @@ def _bwd_kernel(seed_ref, rowid_ref, q_ref, k_ref, v_ref, bias_ref, do_ref,
         preferred_element_type=jnp.float32).astype(dk_ref.dtype)
 
 
-def _specs(s_q, s_kv, d, num_heads):
+def _specs(s_q, s_kv, d):
     qspec = pl.BlockSpec((1, s_q, d), lambda i, *_: (i, 0, 0),
                          memory_space=pltpu.VMEM)
     kspec = pl.BlockSpec((1, s_kv, d), lambda i, *_: (i, 0, 0),
                          memory_space=pltpu.VMEM)
     # key-side additive bias, one row per (batch*head) program
-    del num_heads
     bspec = pl.BlockSpec((1, 1, s_kv), lambda i, *_: (i, 0, 0),
                          memory_space=pltpu.VMEM)
     return qspec, kspec, bspec
@@ -141,10 +140,9 @@ def _my_row_id(rowid_ref):
     return rowid_ref[pl.program_id(0)]
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
-def _fused_attention(q, k, v, bias, seed, dropout_rate, train, num_heads):
-    out, _ = _fused_attention_fwd(q, k, v, bias, seed, dropout_rate, train,
-                                  num_heads)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
+def _fused_attention(q, k, v, bias, seed, dropout_rate, train):
+    out, _ = _fused_attention_fwd(q, k, v, bias, seed, dropout_rate, train)
     return out
 
 
@@ -167,14 +165,13 @@ def _seed_zero_cotangent(seed):
     return np.zeros(np.shape(seed), dtype=jax.dtypes.float0)
 
 
-def _run_fwd(q, k, v, bias, dropout_rate, seed, num_heads):
-    del num_heads
+def _run_fwd(q, k, v, bias, dropout_rate, seed):
 
     def call(seed_arr, rowid, q, k, v, bias):
         # everything static is derived from the (possibly per-shard) shapes
         bh, s_q, d = q.shape
         s_kv = k.shape[1]
-        qspec, kspec, bspec = _specs(s_q, s_kv, d, None)
+        qspec, kspec, bspec = _specs(s_q, s_kv, d)
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,   # seed [1] + global row ids [bh]
             grid=(bh,),
@@ -203,22 +200,20 @@ def _run_fwd(q, k, v, bias, dropout_rate, seed, num_heads):
         out_ranks=(4,), lead=2)
 
 
-def _fused_attention_fwd(q, k, v, bias, seed, dropout_rate, train,
-                         num_heads):
+def _fused_attention_fwd(q, k, v, bias, seed, dropout_rate, train):
     rate = dropout_rate if train else 0.0
-    out = _run_fwd(q, k, v, bias, rate, seed, num_heads)
+    out = _run_fwd(q, k, v, bias, rate, seed)
     return out, (q, k, v, bias, seed)
 
 
-def _fused_attention_bwd(dropout_rate, train, num_heads, residuals, do):
-    del num_heads
+def _fused_attention_bwd(dropout_rate, train, residuals, do):
     q, k, v, bias, seed = residuals
     rate = dropout_rate if train else 0.0
 
     def call(seed_arr, rowid, q, k, v, bias, do):
         bh, s_q, d = q.shape
         s_kv = k.shape[1]
-        qspec, kspec, bspec = _specs(s_q, s_kv, d, None)
+        qspec, kspec, bspec = _specs(s_q, s_kv, d)
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
             grid=(bh,),
@@ -283,7 +278,7 @@ def pallas_attention_core(q, k, v, mask, *, dropout_rate: float = 0.0,
     # model-sharded head dim has no GSPMD representation (it forces
     # head-dim all-gathers); the per-shard lowering flattens locally
     return _fused_attention(q, k, v, bias, seed, float(dropout_rate),
-                            bool(train), h)
+                            bool(train))
 
 
 # --------------------------------------------------------------------------- #
@@ -434,7 +429,10 @@ def _fused_bi_attention_fwd(q1, k1, v1, q2, k2, v2, vbias, tbias, seed,
         )
         kernel = functools.partial(_bi_fwd_kernel, scale=1.0 / math.sqrt(d),
                                    rate1=rate1, rate2=rate2)
-        flops = 4 * bh * s_t * s_v * d          # 2 matmuls per direction
+        # 2 matmuls per direction x 2 directions = 4 [s_t,d]x[d,s_v]
+        # matmuls at 2 flops/MAC (the single-direction kernel's 4x covers
+        # only one direction)
+        flops = 8 * bh * s_t * s_v * d
         return pl.pallas_call(
             kernel,
             grid_spec=grid_spec,
@@ -488,7 +486,9 @@ def _fused_bi_attention_bwd(rate1, rate2, train, residuals, dout):
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=100 * 1024 * 1024),
             cost_estimate=pl.CostEstimate(
-                flops=11 * bh * s_t * s_v * d,
+                # ~5 matmuls per direction x 2 directions (the
+                # single-direction bwd charges 11x for its one direction)
+                flops=22 * bh * s_t * s_v * d,
                 bytes_accessed=14 * bh * (s_v + s_t) * d * q1.dtype.itemsize,
                 transcendentals=2 * bh * s_t * s_v),
             interpret=_interpret(),

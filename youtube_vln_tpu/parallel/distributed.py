@@ -58,8 +58,24 @@ def initialize(coordinator_address: Optional[str] = None,
         # single host or auto-detected TPU environment
         try:
             jax.distributed.initialize()
-        except Exception as e:  # single-process runs
-            logger.debug("jax.distributed.initialize skipped: %s", e)
+        except Exception as e:
+            # Only a plain single-process run may degrade silently.  On a
+            # pod slice (worker env vars present) a failed rendezvous must
+            # NOT fall through: every host would see only local devices,
+            # all report process_index 0, train the full dataset
+            # independently and race on the same checkpoint path.
+            pod_markers = [k for k in ("TPU_WORKER_HOSTNAMES",
+                                       "TPU_WORKER_ID", "CLOUD_TPU_TASK_ID",
+                                       "MEGASCALE_COORDINATOR_ADDRESS")
+                           if k in env]
+            if pod_markers:
+                raise RuntimeError(
+                    "jax.distributed.initialize() failed on what looks "
+                    f"like a multi-host pod (env: {pod_markers}); refusing "
+                    "to continue as N independent single-process trainings"
+                ) from e
+            logger.debug("jax.distributed.initialize skipped "
+                         "(single-process run): %s", e)
         return
     jax.distributed.initialize(coordinator_address=coordinator_address,
                                num_processes=num_processes,

@@ -45,20 +45,27 @@ def _param_spec(path, leaf, cfg) -> P:
     column-parallel: attention q/k/v kernels, FFN 'inter' kernel, the
     bi-attention projections (out features sharded);
     row-parallel: attention 'out' and FFN 'out' kernels (in features
-    sharded).  Biases of column-parallel layers shard on their only dim.
-    Embeddings shard on the vocab/feature dim where divisible.
+    sharded).  Biases of column-parallel layers shard on their only dim;
+    row-parallel ('out') biases stay replicated (they add after the
+    psum).  The word embedding shards on the vocab dim; all other
+    embeddings/LN/head leaves are replicated.  param_shardings falls
+    back to replication for any dim the model axis does not divide.
     """
     keys = [getattr(p, "key", getattr(p, "idx", None)) for p in path]
-    if leaf.ndim == 2:
-        name = keys[-2] if keys[-1] in ("w",) else keys[-1]
-        if keys[-1] == "w":
-            if name in ("query", "key", "value", "inter", "query1", "key1",
-                        "value1", "query2", "key2", "value2"):
-                return P(None, "model")      # column parallel
-            if name == "out":
-                return P("model", None)      # row parallel
-        if keys[-1] == "word":
-            return P("model", None)          # vocab-sharded embedding
+    col_parallel = ("query", "key", "value", "inter", "query1", "key1",
+                    "value1", "query2", "key2", "value2")
+    if leaf.ndim == 2 and keys[-1] == "w":
+        if keys[-2] in col_parallel:
+            return P(None, "model")          # column parallel
+        if keys[-2] == "out":
+            return P("model", None)          # row parallel
+    if leaf.ndim == 2 and keys[-1] == "word":
+        return P("model", None)              # vocab-sharded embedding
+    if leaf.ndim == 1 and keys[-1] == "b" and keys[-2] in col_parallel:
+        # the bias of a column-parallel layer adds onto the
+        # feature-sharded activation — shard it the same way (a
+        # row-parallel 'out' bias adds AFTER the psum -> replicated)
+        return P("model")
     return P()
 
 

@@ -75,6 +75,9 @@ def _expand_dedup(batch: Dict[str, jnp.ndarray]):
     out["image_features"] = feats
     out["image_locations"] = gather(batch["uniq_image_locations"])
     out["image_mask"] = gather(batch["uniq_image_mask"])
+    for k in ("uniq_image_features", "uniq_image_locations",
+              "uniq_image_mask", "cand_index", "feature_zero_mask"):
+        out.pop(k, None)   # consumed — mirror expand_beam_steps
     return out
 
 
@@ -244,7 +247,11 @@ def build_train_step(cfg: LilyConfig, args: RunConfig, tx):
                 scan_body, (grads0, metrics0),
                 (rest, rngs[1:]))
             grads = jax.tree_util.tree_map(lambda g: g / accum, grads)
-            metrics = jax.tree_util.tree_map(lambda m: m / accum, metrics)
+            # loss/* are per-microbatch MEANS -> average them; correct/*
+            # are COUNTS -> keep the sum, so a step's logged count covers
+            # the same row total whatever the accumulation factor
+            metrics = {k: (v / accum if k.startswith("loss/") else v)
+                       for k, v in metrics.items()}
         else:
             _, metrics, grads = one_microbatch(state.params, batch, rng)
 

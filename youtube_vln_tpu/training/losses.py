@@ -136,6 +136,17 @@ def traj_judge_loss(logits, opt_mask, target_row):
 
     logits: [bs, num_cand]; target_row: [num_cand] bool (same for each batch
     row, as in the reference).  Returns (loss, correct_count).
+
+    Known deviation (intentional, padding-only): the reference computes
+    both the BCE mean and ``correct`` over ALL nc candidates of
+    ``pad_packed`` output — a padded candidate contributes sigmoid(-inf)=0,
+    which counts as "correct" against its False target, and would be an
+    infinite loss against a True target.  We exclude padded candidates via
+    opt_mask instead (mask-weighted mean, masked correct count).  The
+    reference never actually feeds padding here (pretrain items always
+    carry the full candidate set and targets are a positive PREFIX, so a
+    padded tail with a True target cannot occur) — on every reference-
+    reachable batch the two forms are equal.
     """
     bs, nc = logits.shape
     z = jnp.broadcast_to(target_row.astype(jnp.float32)[None, :], (bs, nc))
