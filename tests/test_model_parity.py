@@ -214,7 +214,10 @@ def test_remat_matches_no_remat(rng):
 
     l0, g0 = jax.value_and_grad(lambda p: loss(p, cfg))(params)
     l1, g1 = jax.value_and_grad(lambda p: loss(p, cfg_r))(params)
-    np.testing.assert_allclose(float(l0), float(l1), rtol=1e-6)
+    # remat recompute reorders the f32 reductions feeding the scalar loss;
+    # measured drift is ~1.5e-6 rel (and varies with jit-cache state), while
+    # a divergent dropout mask shows as O(1) — 1e-5 separates the two.
+    np.testing.assert_allclose(float(l0), float(l1), rtol=1e-5)
     # the recompute reorders f32 reductions, so near-zero leaves carry
     # ~5e-5 absolute noise; anything larger would indicate divergent
     # dropout masks or a broken checkpoint wrapper
@@ -222,3 +225,16 @@ def test_remat_matches_no_remat(rng):
                     jax.tree_util.tree_leaves(g1)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4,
                                    rtol=1e-3)
+
+
+def test_fixed_layer_domain_matches_reference():
+    """The reference asserts the frozen prefix ends before every
+    co-attention block (vilbert.py:742-743, binding at the FIRST block);
+    our config must reject the same domain at construction — past it, the
+    encoder's min(fixed, v_end) would silently DEFER the overhang layers
+    past the first connection instead of failing like the reference."""
+    tiny_config(fixed_t_layer=2)                   # == t_biattention_id[0]
+    with pytest.raises(AssertionError):
+        tiny_config(fixed_v_layer=1)               # > v_biattention_id[0]=0
+    with pytest.raises(AssertionError):
+        tiny_config(fixed_t_layer=3)               # > t_biattention_id[0]=2

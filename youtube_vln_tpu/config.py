@@ -85,6 +85,15 @@ class LilyConfig:
         assert self.hidden_size % self.num_attention_heads == 0
         assert self.v_hidden_size % self.v_num_attention_heads == 0
         assert self.bi_hidden_size % self.bi_num_attention_heads == 0
+        # the reference asserts the frozen prefix ends before every
+        # co-attention block (vilbert.py:742-743); the binding bound is the
+        # first block.  Without this our encoder's min(fixed, v_end) would
+        # silently DEFER the overhang layers past the first connection
+        # instead of failing like the reference.
+        assert self.fixed_v_layer <= self.v_biattention_id[0], (
+            self.fixed_v_layer, self.v_biattention_id)
+        assert self.fixed_t_layer <= self.t_biattention_id[0], (
+            self.fixed_t_layer, self.t_biattention_id)
 
     @classmethod
     def from_json_file(cls, json_file: Union[str, Path]) -> "LilyConfig":
