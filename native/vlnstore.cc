@@ -34,12 +34,21 @@ struct Header {
   uint64_t n_records;
   uint64_t index_offset;
 };
+
+struct RecHeader {
+  uint32_t num_boxes;
+  uint32_t image_w;
+  uint32_t image_h;
+  uint32_t flags;
+};
 #pragma pack(pop)
 
 struct Handle {
   int fd = -1;
   const uint8_t* data = nullptr;
   size_t size = 0;
+  uint64_t body_end = 0;                       // = index_offset: records
+                                               // live in [32, body_end)
   std::vector<std::string> keys;               // insertion order
   std::unordered_map<std::string, uint64_t> offsets;
 };
@@ -75,23 +84,40 @@ void* vlnstore_open(const char* path) {
     delete h;
     return nullptr;
   }
+  h->body_end = hdr.index_offset;
   const uint8_t* p = h->data + hdr.index_offset;
   const uint8_t* end = h->data + h->size;
   h->keys.reserve(hdr.n_records);
   h->offsets.reserve(hdr.n_records);
+  bool ok = true;
   for (uint64_t i = 0; i < hdr.n_records; ++i) {
-    if (p + 2 > end) break;
+    if (p + 2 > end) { ok = false; break; }     // truncated index
     uint16_t klen;
     std::memcpy(&klen, p, 2);
     p += 2;
-    if (p + klen + 8 > end) break;
+    if (p + klen + 8 > end) { ok = false; break; }
     std::string key(reinterpret_cast<const char*>(p), klen);
     p += klen;
     uint64_t off;
     std::memcpy(&off, p, 8);
     p += 8;
+    // a record offset must land its header inside the body region
+    // [sizeof(Header), index_offset) or every later pointer derived from
+    // it is out of bounds — fail the whole open rather than hand out a
+    // half-index that segfaults at pack time
+    if (off < sizeof(Header) ||
+        off + sizeof(RecHeader) > hdr.index_offset) {
+      ok = false;
+      break;
+    }
     h->keys.push_back(key);
     h->offsets.emplace(std::move(key), off);
+  }
+  if (!ok) {
+    ::munmap(map, st.st_size);
+    ::close(fd);
+    delete h;
+    return nullptr;
   }
   return h;
 }
@@ -143,14 +169,11 @@ constexpr int kBoxDim = 4;
 constexpr int kProbDim = 1601;
 constexpr int kLocDim = 12;
 
-#pragma pack(push, 1)
-struct RecHeader {
-  uint32_t num_boxes;
-  uint32_t image_w;
-  uint32_t image_h;
-  uint32_t flags;
-};
-#pragma pack(pop)
+// Bytes of the non-pano record body after RecHeader; pano records carry an
+// additional (36+36+3k)*4-byte orientation tail (store.py:12-17).
+inline uint64_t region_body_bytes(uint32_t k) {
+  return (uint64_t)k * (kFeatDim + kBoxDim + kProbDim) * sizeof(float);
+}
 
 struct RecView {
   uint32_t k;
@@ -166,6 +189,11 @@ bool view_record(const Handle* h, const char* key, RecView* out) {
   const uint8_t* p = h->data + it->second;
   RecHeader rh;
   std::memcpy(&rh, p, sizeof(rh));
+  // a corrupt num_boxes would derive feature/box/prob pointers past the
+  // record region and turn the pack memcpys into an OOB read
+  if (it->second + sizeof(rh) + region_body_bytes(rh.num_boxes) >
+      h->body_end)
+    return false;
   p += sizeof(rh);
   out->k = rh.num_boxes;
   out->w = static_cast<float>(rh.image_w);
@@ -428,6 +456,12 @@ int pack_pano_block(const Handle* h, const char* key, double hd, double nh,
   RecHeader rh;
   std::memcpy(&rh, p, sizeof(rh));
   if (!(rh.flags & 1u)) return -1;  // FLAG_PANO (store.py:38)
+  // full pano extent: region body + orientation tail (36+36+3k floats) —
+  // a corrupt num_boxes must fail here, not OOB-read in the copy loop
+  if (it->second + sizeof(rh) + region_body_bytes(rh.num_boxes) +
+          (uint64_t)(72 + 3 * (uint64_t)rh.num_boxes) * sizeof(float) >
+      h->body_end)
+    return -1;
   p += sizeof(rh);
   const uint32_t k = rh.num_boxes;
   const float w = (float)rh.image_w, ih = (float)rh.image_h;

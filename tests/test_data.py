@@ -43,6 +43,71 @@ def test_store_pano_fields(tmp_path):
     st.close()
 
 
+def test_store_rejects_corrupt_offsets(tmp_path):
+    """A bit-rotted / post-hoc-truncated index must fail at open in BOTH
+    readers — not hand out-of-bounds pointers to the C packers."""
+    import ctypes
+    import struct
+    from youtube_vln_tpu.data.store import _HEADER
+
+    path = tmp_path / "c.vlnstore"
+    F.write_store(path, ["a", "b"], k_boxes=2, seed=4)
+    raw = bytearray(path.read_bytes())
+    (index_offset,) = struct.unpack_from("<Q", raw, _HEADER.size - 8)
+    # first index entry: u16 klen | key | u64 offset -> point the offset
+    # past the body region
+    klen = struct.unpack_from("<H", raw, index_offset)[0]
+    struct.pack_into("<Q", raw, index_offset + 2 + klen, len(raw) + 1024)
+    bad = tmp_path / "bad.vlnstore"
+    bad.write_bytes(bytes(raw))
+
+    with pytest.raises(ValueError, match="outside body region"):
+        Store(bad)
+    native = get_native()
+    if native is not None:
+        assert not native.vlnstore_open(str(bad).encode())
+
+
+def test_native_pack_rejects_corrupt_num_boxes(tmp_path):
+    """A corrupt record header (huge K) must make the native packers
+    decline (python fallback then raises on the short buffer) instead of
+    an out-of-bounds memcpy."""
+    import struct
+    from youtube_vln_tpu.data.store import _HEADER
+
+    native = get_native()
+    if native is None:
+        pytest.skip("native reader not built")
+    path = tmp_path / "k.vlnstore"
+    F.write_store(path, ["a"], k_boxes=2, seed=5)
+    raw = bytearray(path.read_bytes())
+    struct.pack_into("<I", raw, _HEADER.size, 2 ** 20)  # record 0's K field
+    bad = tmp_path / "badk.vlnstore"
+    bad.write_bytes(bytes(raw))
+
+    st = Store(bad)
+    assert st._handle  # open succeeds: the index itself is intact
+    assert st.pack_path([("a",)], max_steps=1, max_boxes=8) is None
+    assert st.pack_path_f16([("a",)], max_steps=1, max_boxes=8) is None
+    with pytest.raises(ValueError):  # python fallback is loud, not OOB
+        st.get("a")
+    st.close()
+
+    # same for the pano packers (separate extent check incl. the tail)
+    ppath = tmp_path / "p.vlnstore"
+    F.write_store(ppath, ["v"], k_boxes=2, pano=True, seed=6)
+    raw = bytearray(ppath.read_bytes())
+    struct.pack_into("<I", raw, _HEADER.size, 2 ** 20)
+    badp = tmp_path / "badp.vlnstore"
+    badp.write_bytes(bytes(raw))
+    stp = Store(badp)
+    assert stp.pack_pano_path(["v"], [0.0], [0.0], max_steps=1,
+                              max_boxes=8) is None
+    assert stp.pack_pano_steps_f16(["v"], [0.0], [0.0], [0],
+                                   max_boxes=8) is None
+    stp.close()
+
+
 def test_native_reader_available_and_consistent(tmp_path):
     native = get_native()
     assert native is not None, "libvlnstore.so not built (run make -C native)"

@@ -266,19 +266,31 @@ class Store:
         # round-trips per record, O(n) FFI for shards with 100k+ keys)
         # only to rebuild this same dict; the handle stays open purely
         # for the pack_path fast path
-        p = index_offset
-        for _ in range(n_records):
-            (klen,) = struct.unpack_from("<H", self._mm, p)
-            p += 2
-            key = self._mm[p:p + klen].decode("utf-8")
-            p += klen
-            (off,) = struct.unpack_from("<Q", self._mm, p)
-            p += 8
-            self._offsets[key] = off
-        if len(self._offsets) != n_records:
-            raise ValueError(
-                f"corrupt store {path}: expected {n_records} records, "
-                f"index has {len(self._offsets)}")
+        try:
+            p = index_offset
+            for _ in range(n_records):
+                (klen,) = struct.unpack_from("<H", self._mm, p)
+                p += 2
+                key = self._mm[p:p + klen].decode("utf-8")
+                p += klen
+                (off,) = struct.unpack_from("<Q", self._mm, p)
+                p += 8
+                # record bodies live in [header, index_offset); an offset
+                # outside that range would hand _parse_record / the C
+                # packers an out-of-bounds pointer
+                if off < _HEADER.size or off + _REC_HEADER.size > index_offset:
+                    raise ValueError(
+                        f"corrupt store {path}: record offset {off} for "
+                        f"key {key!r} outside body region "
+                        f"[{_HEADER.size}, {index_offset})")
+                self._offsets[key] = off
+            if len(self._offsets) != n_records:
+                raise ValueError(
+                    f"corrupt store {path}: expected {n_records} records, "
+                    f"index has {len(self._offsets)}")
+        except Exception:
+            self.close()  # don't leak the mmap/fd/native handle
+            raise
 
     @property
     def keys(self):
