@@ -268,3 +268,28 @@ def test_default_from_pretrained_sentinel(env):
         "--pre_dataset", "ytb", "--prefix", "merge+", "--ranking",
         "--num_epochs", "1", "--save_name", "sentinel"])
     assert "ranking" in best
+
+
+def test_compilation_cache_flag(tmp_path):
+    """--compilation_cache_dir must reach RunConfig and wire jax's
+    persistent compilation cache (cheap pin: the flag plumbing and the
+    config-update path, not an actual flagship compile)."""
+    import jax
+    from youtube_vln_tpu.utils.cli import parse_run_config
+    from youtube_vln_tpu.training.engine import maybe_enable_compilation_cache
+
+    cache_dir = tmp_path / "xla_cache"
+    _, run_cfg = parse_run_config([
+        "--ranking", "--compilation_cache_dir", str(cache_dir)])
+    assert run_cfg.compilation_cache_dir == str(cache_dir)
+
+    prev_dir = jax.config.jax_compilation_cache_dir
+    prev_min = jax.config.jax_persistent_cache_min_compile_time_secs
+    try:
+        maybe_enable_compilation_cache(run_cfg)
+        assert jax.config.jax_compilation_cache_dir == str(cache_dir)
+        assert jax.config.jax_persistent_cache_min_compile_time_secs == 10.0
+    finally:
+        jax.config.update("jax_compilation_cache_dir", prev_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                          prev_min)

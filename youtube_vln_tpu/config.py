@@ -299,6 +299,13 @@ class RunConfig:
     use_pallas_attention: bool = True
     remat: bool = False
     profile_dir: str = ""
+    compilation_cache_dir: str = ""  # persistent XLA compilation cache:
+                                     # the flagship Pallas train step takes
+                                     # ~2.5 min to compile cold; with a
+                                     # cache dir, reruns and restarts load
+                                     # the compiled executable instead
+                                     # (multi-host safe — keyed by HLO +
+                                     # compile options + topology)
     host_prefetch: int = 2
     orbax_checkpoints: bool = False  # sharded multi-host-safe checkpoints
                                      # (every host writes its own shards);

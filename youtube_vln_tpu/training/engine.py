@@ -142,12 +142,26 @@ def load_beam_dataset(tag: str, args: RunConfig, tokenizer, reader,
         data_dir=args.data_dir, seed=args.seed)
 
 
+def maybe_enable_compilation_cache(args: RunConfig) -> None:
+    """Wire --compilation_cache_dir into jax's persistent compilation cache
+    (the flagship Pallas train step compiles cold in ~2.5 min; with a cache
+    dir, restarts load the executable from disk).  Must run before the
+    first jit lowers; entries are keyed by HLO + compile options +
+    topology, so sharing the directory across hosts is safe.  The 10 s
+    floor keeps trivial helper jits from churning the directory."""
+    if args.compilation_cache_dir:
+        jax.config.update("jax_compilation_cache_dir",
+                          args.compilation_cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
+
+
 class Engine:
     """Owns the model state, mesh, data loaders, and epoch loops."""
 
     def __init__(self, args: RunConfig, model_cfg: LilyConfig,
                  save_folder: Optional[Path] = None, run_logger=None):
         args.validate()
+        maybe_enable_compilation_cache(args)
         self.args = args
         self.cfg = model_cfg
         self.save_folder = Path(save_folder) if save_folder else None

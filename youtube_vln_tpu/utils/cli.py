@@ -176,6 +176,10 @@ def get_parser() -> argparse.ArgumentParser:
     tpu.add_argument("--no_pallas", action="store_true", default=False)
     tpu.add_argument("--remat", action="store_true", default=False)
     tpu.add_argument("--profile_dir", default="", type=str)
+    tpu.add_argument("--compilation_cache_dir", default="", type=str,
+                     help="persistent XLA compilation cache directory: "
+                          "reruns load the ~2.5-min flagship train-step "
+                          "compile from disk instead of recompiling")
     tpu.add_argument("--host_prefetch", default=2, type=int)
     tpu.add_argument("--orbax_checkpoints", action="store_true",
                      default=False,
