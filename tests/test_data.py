@@ -108,6 +108,43 @@ def test_native_pack_rejects_corrupt_num_boxes(tmp_path):
     stp.close()
 
 
+def test_merge_stores_last_shard_wins_and_restores_native_path(tmp_path,
+                                                               caplog):
+    """scripts/merge_stores collapses a sharded layout (11x convert_lmdb of
+    the reference databases) into one store: key overlap resolves
+    last-shard-wins exactly like the multi-shard reader, and the native
+    path packer — which declines cross-shard paths with a one-time
+    warning — engages again on the merged store."""
+    import logging
+    from youtube_vln_tpu.data.store import merge_stores
+
+    a, b = tmp_path / "a.vlnstore", tmp_path / "b.vlnstore"
+    F.write_store(a, ["k0", "k1", "dup"], k_boxes=3, seed=10)
+    F.write_store(b, ["k2", "dup"], k_boxes=2, seed=11)
+    merged_path = tmp_path / "m.vlnstore"
+    n = merge_stores([a, b], merged_path)
+    assert n == 4  # dup written once (shard b's copy)
+
+    sharded = YTbFeaturesReader([a, b])
+    merged = YTbFeaturesReader(merged_path)
+    assert set(sharded.keys) == set(merged.keys)
+    for key in ("k0", "k2", "dup"):
+        for x, y in zip(sharded[(key,)], merged[(key,)]):
+            np.testing.assert_array_equal(x, y)
+
+    # a cross-shard path declines the native packer (warned once), the
+    # merged store packs it natively — and both produce the same arrays
+    # via the dataset-level fallback contract (None -> python path)
+    with caplog.at_level(logging.WARNING):
+        assert sharded.pack_path([("k0",), ("k2",)], 2, 4) is None
+    assert any("merge_stores" in r.message for r in caplog.records)
+    out = merged.pack_path([("k0",), ("k2",)], 2, 4)
+    if get_native() is not None:
+        assert out is not None
+    sharded.close()
+    merged.close()
+
+
 def test_native_reader_available_and_consistent(tmp_path):
     native = get_native()
     assert native is not None, "libvlnstore.so not built (run make -C native)"

@@ -20,6 +20,7 @@ reference's multi-LMDB handling (reference :17-42).
 """
 from __future__ import annotations
 
+import logging
 from pathlib import Path
 from typing import Dict, List, Sequence, Set, Tuple, Union
 
@@ -28,6 +29,8 @@ import numpy as np
 from .store import Store, StoreRecord, PROB_DIM
 
 PathLike = Union[str, Path]
+
+logger = logging.getLogger(__name__)
 
 
 def _normalize_boxes(rec: StoreRecord) -> np.ndarray:
@@ -55,6 +58,7 @@ class FeaturesReader:
         for i, s in enumerate(self._stores):
             for k in s.keys:
                 self._by_key[k] = i
+        self._warned_multi_shard = False
 
     @property
     def keys(self):
@@ -71,6 +75,20 @@ class FeaturesReader:
         if idx is None:
             raise KeyError(f"invalid key: {key}")
         return self._stores[idx].get(key)
+
+    def _warn_multi_shard(self):
+        """One-time loud note when a path spans store shards: the native C
+        packer declines (one packed path = one C call against one mmap)
+        and every such item pays the ~3x slower Python assembly.  Merge
+        the shards offline with scripts/merge_stores.py."""
+        if not self._warned_multi_shard:
+            self._warned_multi_shard = True
+            logger.warning(
+                "a feature path spans %d store shards: the native path "
+                "packer is disabled for such items (Python fallback, ~3x "
+                "slower item assembly) — merge the shards once with "
+                "scripts/merge_stores.py to restore the fast path",
+                len(self._stores))
 
     def close(self):
         for s in self._stores:
@@ -128,6 +146,7 @@ class RegionFeaturesReader(FeaturesReader):
                 if first is None:
                     first = idx
                 elif idx != first:
+                    self._warn_multi_shard()
                     return None
         return first
 
@@ -214,6 +233,7 @@ class PanoFeaturesReader(FeaturesReader):
             if first is None:
                 first = idx
             elif idx != first:
+                self._warn_multi_shard()
                 return None
         if first is None:
             return None
@@ -236,6 +256,7 @@ class PanoFeaturesReader(FeaturesReader):
             if first is None:
                 first = idx
             elif idx != first:
+                self._warn_multi_shard()
                 return None
         store = self._stores[first if first is not None else 0]
         return store.pack_pano_steps_f16(keys, headings, next_headings,

@@ -480,6 +480,40 @@ class Store:
 # --------------------------------------------------------------------------- #
 # converters
 # --------------------------------------------------------------------------- #
+def merge_stores(paths: Sequence[Union[str, Path]],
+                 out_path: Union[str, Path]) -> int:
+    """Merge several store shards into ONE store file (streaming, zero-copy
+    record views).  Duplicate keys resolve LAST-shard-wins — the same
+    semantics as opening the shards as a multi-shard FeaturesReader
+    (features_reader.py merges key spaces in shard order, reference
+    :17-42).
+
+    Why: the native path packers only engage when every key of a path
+    lives in one shard (a packed path is one C call against one mmap);
+    a reference-layout migration (11 LMDBs -> 11 stores via
+    convert_lmdb) would silently fall back to the ~3x slower Python
+    assembly for any path spanning shards.  Merge once offline, read one
+    store forever.  Returns the merged record count."""
+    winner: Dict[str, int] = {}
+    stores = [Store(p) for p in paths]
+    try:
+        for i, s in enumerate(stores):
+            for k in s.keys:
+                winner[k] = i
+        n = 0
+        with StoreWriter(out_path) as w:
+            for i, s in enumerate(stores):
+                for k in s.keys:
+                    if winner[k] != i:
+                        continue  # a later shard overrides this key
+                    w.add(k, s.get(k))
+                    n += 1
+        return n
+    finally:
+        for s in stores:
+            s.close()
+
+
 def convert_lmdb(lmdb_path: Union[str, Path], out_path: Union[str, Path],
                  pano: bool = False) -> int:
     """Convert a reference LMDB (pickled dicts, features_reader.py:124-150 /
