@@ -144,6 +144,20 @@ def test_merge_stores_last_shard_wins_and_restores_native_path(tmp_path,
     sharded.close()
     merged.close()
 
+    # pano records: the orientation tail must survive the merge
+    pa = tmp_path / "pa.vlnstore"
+    F.write_store(pa, ["s-v0"], k_boxes=3, pano=True, seed=12)
+    pm = tmp_path / "pm.vlnstore"
+    assert merge_stores([pa], pm) == 1
+    from youtube_vln_tpu.data.store import Store
+    src, dst = Store(pa), Store(pm)
+    r0, r1 = src.get("s-v0"), dst.get("s-v0")
+    np.testing.assert_array_equal(r0.features, r1.features)
+    np.testing.assert_array_equal(r0.feat_heading, r1.feat_heading)
+    np.testing.assert_array_equal(r0.view_elevation, r1.view_elevation)
+    src.close()
+    dst.close()
+
 
 def test_native_reader_available_and_consistent(tmp_path):
     native = get_native()
