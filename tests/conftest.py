@@ -61,6 +61,40 @@ def import_reference_vilbert():
     return ref_vilbert
 
 
+def import_reference_common():
+    """Import the reference's utils.dataset.common (sampling, masking,
+    instruction machinery) for parity checks.  Needs more stubbing than
+    the model import: transformers pulls huggingface_hub (real requests),
+    features_reader pulls lmdb (faked), plus pyfiglet/argtyped/tqdm-side
+    imports of the scripts package."""
+    import_reference_vilbert()
+    # transformers -> huggingface_hub needs requests.exceptions, which the
+    # bare stub installed by import_reference_vilbert lacks.  A prior
+    # reference-importing test may have ALREADY installed the stub, so
+    # evict it and load the real package (order-independent).
+    stub = sys.modules.get("requests")
+    if stub is not None and getattr(getattr(stub, "__spec__", None),
+                                    "loader", None) is None:
+        del sys.modules["requests"]
+    import requests  # noqa: F401
+
+    import fake_lmdb
+    fake_lmdb.install()
+    sys.modules.setdefault("pyfiglet", types.ModuleType("pyfiglet"))
+    sys.modules["pyfiglet"].figlet_format = lambda *a, **k: ""
+    if "argtyped" not in sys.modules:
+        argtyped = types.ModuleType("argtyped")
+
+        class Arguments:
+            def __init_subclass__(cls, **kw):
+                pass
+
+        argtyped.Arguments = Arguments
+        sys.modules["argtyped"] = argtyped
+    import utils.dataset.common as ref_common
+    return ref_common
+
+
 @pytest.fixture(scope="session")
 def rng():
     return np.random.default_rng(0)
