@@ -263,3 +263,75 @@ def test_negative_generation_statistical_parity(ref, traj_judge):
         # distributional divergence (e.g. a positional bias) lands in the
         # thousands.  Fixed seeds -> deterministic.
         assert stat < max(3.0 * df, 220.0), (name, stat, df)
+
+
+# --------------------------------------------------------------------------- #
+# template machinery (the online instruction-synthesis hot path)
+# --------------------------------------------------------------------------- #
+TEMPLATES = [
+    {"instructions": ["walk past the [MASK] and turn [OMASK] at the [MASK] "
+                      ", then stop ."]},
+    {"instructions": ["go to the [MASK] . turn [OMASK] . walk into the "
+                      "[MASK] . head [OMASK] and wait ."]},
+    {"instructions": ["Turn [OMASK] by the [MASK] , continue to the [MASK] "
+                      "and Turn [OMASK] again ."]},
+    {"instructions": ["find the [MASK] then go [OMASK] toward the [MASK] "
+                      "past the [MASK] ."]},
+]
+
+
+def test_template_indexing_exact_parity(ref):
+    """index_templates vs reference sort_skeletons: identical signature
+    grouping (common.py:652-673)."""
+    from youtube_vln_tpu.data.instructions import index_templates
+    ref_idx, ref_sig = ref.sort_skeletons(TEMPLATES)
+    our_idx, our_sig = index_templates(TEMPLATES)
+    assert ref_sig == our_sig
+    assert list(ref_idx)[: len(our_sig)] == list(our_idx)[: len(our_sig)]
+
+
+def test_fill_template_exact_parity(ref):
+    """fill_template vs the reference run_insertion
+    (gen_instructions4train.py:37-139): identical rng call order in the
+    [MASK]-bearing branch — the only reachable one (YTb trajectories
+    always carry >=2 captions; the reference's no-MASK branch dies on an
+    unbound viewpoint_indexes).  Covers: caption-fragment sampling,
+    more-captions-than-directions truncation, 'around' priority, the
+    turn->go rewrite on all-forward direction sets, and the capitalized
+    'Turn' variant."""
+    from youtube_vln_tpu.data.instructions import (fill_template,
+                                                   index_templates)
+    ref_idx, ref_sig = ref.sort_skeletons(TEMPLATES)
+    our_idx, our_sig = index_templates(TEMPLATES)
+
+    cases = [
+        # (captions, directions) matching each template's mask/omask counts
+        (["kitchen with stove", "hall with rug"], [["left"]]),
+        (["kitchen with stove", "hall with rug"], [["forward"]]),
+        (["bedroom with bed", "bath with tub"],
+         [["right", "forward"], ["around"]]),
+        (["bedroom with bed", "bath with tub"],
+         [["forward"], ["forward"]]),          # turn->go rewrite, 'Turn' too
+        (["a with b", "c with d", "e with f"], [["left"]]),  # truncation
+    ]
+    for captions, directions in cases:
+        sig = f"{len(captions)}_{len(directions)}"
+        if sig not in ref_sig:
+            continue
+        for seed in range(40):
+            random.seed(seed)
+            got_ref = ref.run_insertion(captions, list(directions),
+                                        TEMPLATES, ref_idx, ref_sig)
+            got_ours = fill_template(captions, list(directions), TEMPLATES,
+                                     our_idx, our_sig,
+                                     rng=random.Random(seed))
+            assert got_ref is not None and got_ours is not None, (sig, seed)
+            assert got_ref[0] == got_ours[0], (sig, seed)
+            assert got_ref[1] == got_ours[1], (sig, seed)
+
+    # unmatched signature -> reference returns None, ours returns None
+    random.seed(0)
+    assert ref.run_insertion(["x with y"] * 4, [["left"]] * 9, TEMPLATES,
+                             ref_idx, ref_sig) is None
+    assert fill_template(["x with y"] * 4, [["left"]] * 9, TEMPLATES,
+                         our_idx, our_sig, rng=random.Random(0)) is None
