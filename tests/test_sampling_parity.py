@@ -335,3 +335,79 @@ def test_fill_template_exact_parity(ref):
                              ref_idx, ref_sig) is None
     assert fill_template(["x with y"] * 4, [["left"]] * 9, TEMPLATES,
                          our_idx, our_sig, rng=random.Random(0)) is None
+
+
+# --------------------------------------------------------------------------- #
+# instruction generators (concatenate / rephrase) — exact parity
+# --------------------------------------------------------------------------- #
+def _framed(tok_ids, max_len=24, pad=0, cls=101, sep=102):
+    row = [cls] + list(tok_ids) + [sep]
+    return row + [pad] * (max_len - len(row))
+
+
+def _caption_world():
+    """photo_id_to_caption with plain, captionless and merged entries.
+    Token sums >= 204 mean captioned (is_captionless threshold)."""
+    caps = {
+        1: {"instruction_tokens": [_framed([300, 310, 320])]},
+        2: {"instruction_tokens": [_framed([3])]},               # captionless
+        3: {"instruction_tokens": [_framed([400, 410, 420, 430, 440, 450,
+                                            460, 470])]},        # long
+        4: {"instruction_tokens": [_framed([500, 510])],
+            "merging": [4, 5, 2], "weights": [0.5, 0.3, 0.2]},
+        5: {"instruction_tokens": [_framed([600, 610, 620])]},
+    }
+    return caps
+
+
+def test_concatenate_generator_exact_parity(ref, tmp_path):
+    from youtube_vln_tpu.data.instructions import (
+        ConcatenateInstructionGenerator)
+    from youtube_vln_tpu.data.fixtures import write_fixture_vocab
+
+    tok = write_fixture_vocab(tmp_path / "vocab.txt")
+    caps = _caption_world()
+    traj = [("l", 1), ("l", 2), ("l", (4, 5)), ("l", 3), ("l", 5)]
+    for seps in ((), ("then", "and", ",", ".")):
+        ref_gen = ref.ConcatenateInstructionGenerator(tok, seps, caps, 24)
+        for seed in range(30):
+            random.seed(seed)
+            ref_out = ref_gen(list(traj))
+            ours = ConcatenateInstructionGenerator(
+                tok, seps, caps, 24, rng=random.Random(seed))(list(traj))
+            assert list(ref_out) == list(ours), (seps, seed)
+
+
+def test_rephrase_generator_exact_parity(ref, tmp_path):
+    import json
+    from youtube_vln_tpu.data.instructions import (
+        RephraseInstructionGenerator)
+    from youtube_vln_tpu.data.fixtures import write_fixture_vocab
+
+    tok = write_fixture_vocab(tmp_path / "vocab.txt")
+    caps = _caption_world()
+    # skeletons: np flags mark slot positions; the reference loader also
+    # requires distance/scan/path_id/path/heading/perturbations fields
+    skel = []
+    for i, (text, np_flags) in enumerate((
+            ("walk to the stop there", [0, 0, 0, 1, 0, 0, 0]),
+            ("go past the then the wait", [0, 0, 0, 1, 0, 0, 1, 0, 0]),
+            ("head into the room", [0, 0, 0, 1, 0, 0]))):
+        skel.append({"instructions": [text], "np": [np_flags],
+                     "distance": 1.0, "scan": "s", "path_id": i,
+                     "path": ["a"], "heading": 0.0,
+                     "perturbations": [[]]})
+    spath = tmp_path / "skeletons.json"
+    spath.write_text(json.dumps(skel))
+
+    # captioned-only trajectory slices matching 1- and 2-slot skeletons
+    for traj in ([("l", 1)], [("l", 1), ("l", 3)]):
+        ref_gen = ref.RephraseInstructionGenerator(str(spath), tok, (),
+                                                   caps, 24)
+        our_gen = RephraseInstructionGenerator(str(spath), tok, (), caps, 24)
+        for seed in range(20):
+            random.seed(seed)
+            ref_out = ref_gen(list(traj))
+            our_gen.rng = random.Random(seed)
+            ours = our_gen(list(traj))
+            assert list(ref_out) == list(ours), (len(traj), seed)
