@@ -411,3 +411,49 @@ def test_rephrase_generator_exact_parity(ref, tmp_path):
             our_gen.rng = random.Random(seed)
             ours = our_gen(list(traj))
             assert list(ref_out) == list(ours), (len(traj), seed)
+
+
+def test_ytb_rephrase_generator_exact_parity(ref, tmp_path):
+    """End-to-end YTBRephraseInstructionGenerator vs the reference class:
+    caption/action gathering (skips captionless, drops the last action),
+    random_action redraws, template selection + fill, tokenize + frame.
+    The tokenized-skeleton side cache is SHARED between the two runs, so
+    it also pins ytb_load_tokens cache-format compatibility."""
+    import json
+    from youtube_vln_tpu.data.instructions import (
+        YTBRephraseInstructionGenerator)
+    from youtube_vln_tpu.data.fixtures import write_fixture_vocab
+
+    tok = write_fixture_vocab(tmp_path / "vocab.txt")
+    skel = [{"instructions": [t]} for t in (
+        "walk past the [MASK] and turn [OMASK] at the [MASK] , then stop .",
+        "go to the [MASK] . turn [OMASK] . walk into the [MASK] .",
+        "find the [MASK] then go [OMASK] toward the [MASK] , turn [OMASK] "
+        "and stop by the [MASK] .",
+    )]
+    spath = tmp_path / "ytb_skeletons.json"
+    spath.write_text(json.dumps(skel))
+
+    frames = {
+        "vid/0000": {"caption": "kitchen with stove", "action": "left"},
+        "vid/0001": {"caption": "", "action": "forward"},
+        "vid/0002": {"caption": "hall with rug", "action": "right"},
+        "vid/0003": {"caption": "", "action": "forward"},
+        "vid/0005": {"caption": "bath with tub", "action": "around"},
+    }
+    traj2 = [("vid", (0,)), ("vid", (1,)), ("vid", (2,))]      # sig 2_1
+    traj3 = [("vid", (0,)), ("vid", (2,)), ("vid", (3,)), ("vid", (5,))]
+
+    for random_action in (False, True):
+        ref_gen = ref.YTBRephraseInstructionGenerator(
+            str(spath), random_action, tok, (), frames, 24)
+        our_gen = YTBRephraseInstructionGenerator(
+            str(spath), random_action, tok, (), frames, 24)
+        for traj in (traj2, traj3):
+            for seed in range(25):
+                random.seed(seed)
+                ref_ids, ref_tpl = ref_gen(list(traj))
+                our_gen.rng = random.Random(seed)
+                our_ids, our_tpl = our_gen(list(traj))
+                assert list(ref_ids) == list(our_ids), (random_action, seed)
+                assert ref_tpl == our_tpl, (random_action, seed)
