@@ -1327,3 +1327,120 @@ def test_vision_targets_skipped_when_task_off(ytb_env):
     assert np.isfinite(float(metrics["loss/train"]))
     assert "loss/vision" not in metrics
     reader.close()
+
+
+def test_native_packers_fuzz_matches_python(tmp_path):
+    """Randomized-geometry fuzz of the C packers vs the Python assembly:
+    random per-record box counts (incl. k=1 and truncation), random
+    max_steps/max_boxes, random step groupings, random headings — C and
+    Python must agree bit-for-bit (probs/mask/f16) / to f64-vs-f32 mean
+    accumulation (features) on every draw.  The fixed-case pins above
+    cover the contracts; this covers the geometry space between them."""
+    from youtube_vln_tpu.data import fixtures as F
+    from youtube_vln_tpu.data.datasets import _PathFeatureAssembler
+    from youtube_vln_tpu.data.store import StoreWriter
+
+    if get_native() is None:
+        pytest.skip("native library not built")
+    rng = np.random.default_rng(99)
+
+    # region store with varying box counts
+    rpath = tmp_path / "fr.vlnstore"
+    with StoreWriter(rpath) as w:
+        for i in range(10):
+            w.add(f"v/{i:04d}",
+                  F._random_record(rng, int(rng.integers(1, 7)), False))
+    rreader = YTbFeaturesReader(rpath)
+    rkeys = sorted(rreader.keys)
+
+    for trial in range(10):
+        max_steps = int(rng.integers(1, 5))
+        max_boxes = int(rng.integers(2, 9))
+        n_steps = int(rng.integers(1, max_steps + 1))
+        step_keys = [tuple(rng.choice(rkeys,
+                                      size=int(rng.integers(1, 4)),
+                                      replace=False))
+                     for _ in range(n_steps)]
+        packed = rreader.pack_path(step_keys, max_steps, max_boxes)
+        assert packed is not None
+        f, l, p, m = packed
+        asm = _PathFeatureAssembler(max_steps, max_boxes)
+        steps = [asm.pad_step(*rreader[k], i)
+                 for i, k in enumerate(step_keys)]
+        steps += [asm.empty_step(i) for i in range(n_steps, max_steps)]
+        f2, l2, p2, m2 = asm.stack(steps)
+        np.testing.assert_allclose(f, f2, atol=2e-6, err_msg=str(trial))
+        np.testing.assert_allclose(l, l2, atol=1e-6)
+        np.testing.assert_array_equal(p, p2)
+        np.testing.assert_array_equal(m, m2)
+        # f16 variant bit-matches astype of the NATIVE f32 pack (the
+        # global-region mean row can differ from the python pack by one
+        # f32 ulp: C f64 accumulation vs numpy pairwise summation)
+        f16 = rreader.pack_path_f16(step_keys, max_steps, max_boxes)
+        assert f16 is not None
+        np.testing.assert_array_equal(f16[0], f.astype(np.float16))
+        # probs gather on random region ids (incl. out-of-range rows)
+        ids = rng.integers(-1, max_steps * max_boxes + 3, size=7,
+                           dtype=np.int32)
+        ids.sort()
+        pr = rreader.gather_probs(step_keys, ids, max_boxes)
+        assert pr is not None
+        for j, rid in enumerate(ids):
+            want = (p2[rid] if 0 <= rid < max_steps * max_boxes
+                    else np.zeros(p2.shape[1], np.float32))
+            np.testing.assert_array_equal(pr[j], want, err_msg=str(rid))
+    rreader.close()
+
+    # pano store with varying box counts
+    ppath = tmp_path / "fp.vlnstore"
+    with StoreWriter(ppath) as w:
+        for i in range(8):
+            w.add(f"s-v{i}",
+                  F._random_record(rng, int(rng.integers(1, 7)), True))
+    preader = PanoFeaturesReader(ppath)
+    pkeys = sorted(preader.keys)
+
+    for trial in range(10):
+        max_steps = int(rng.integers(1, 5))
+        max_boxes = int(rng.integers(2, 9))
+        n_steps = int(rng.integers(1, max_steps + 1))
+        keys = list(rng.choice(pkeys, size=n_steps, replace=True))
+        hs = list(rng.uniform(-np.pi, np.pi, n_steps))
+        nhs = list(rng.uniform(-np.pi, np.pi, n_steps))
+        packed = preader.pack_pano_path(keys, hs, nhs, max_steps, max_boxes)
+        assert packed is not None
+        f, l, p, m = packed
+        asm = _PathFeatureAssembler(max_steps, max_boxes)
+        steps = [asm.pad_step(*preader[(k, h, nh)], i)
+                 for i, (k, h, nh) in enumerate(zip(keys, hs, nhs))]
+        steps += [asm.empty_step(i) for i in range(n_steps, max_steps)]
+        f2, l2, p2, m2 = asm.stack(steps)
+        np.testing.assert_allclose(f, f2, atol=2e-6, err_msg=str(trial))
+        np.testing.assert_allclose(l, l2, atol=1e-6)
+        np.testing.assert_array_equal(p, p2)
+        np.testing.assert_array_equal(m, m2)
+        # batched f16 single-step packer: blocks in random order with
+        # empty slots interleaved
+        slots = [(k, h, nh, i) for i, (k, h, nh)
+                 in enumerate(zip(keys, hs, nhs))]
+        slots.append((None, 0.0, 0.0, max_steps - 1))   # empty block
+        bf = preader.pack_pano_steps(
+            [s[0] for s in slots], [s[1] for s in slots],
+            [s[2] for s in slots], [s[3] for s in slots], max_boxes)
+        assert bf is not None
+        for j, (k, h, nh, pos) in enumerate(slots):
+            blk = (asm.empty_step(pos) if k is None
+                   else asm.pad_step(*preader[(k, h, nh)], pos))
+            got_f = bf[0][j * max_boxes:(j + 1) * max_boxes]
+            want_f = blk[0].astype(np.float16)
+            # row 0 is the f64-vs-f32 mean accumulation (<=1 f16 ulp);
+            # every other row is a raw store row -> bit-exact
+            np.testing.assert_array_equal(got_f[1:], want_f[1:])
+            np.testing.assert_allclose(
+                got_f[0].astype(np.float32), want_f[0].astype(np.float32),
+                atol=2e-3)
+            np.testing.assert_allclose(
+                bf[1][j * max_boxes:(j + 1) * max_boxes], blk[1], atol=1e-6)
+            np.testing.assert_array_equal(
+                bf[2][j * max_boxes:(j + 1) * max_boxes], blk[3])
+    preader.close()
