@@ -21,8 +21,9 @@ from youtube_vln_tpu.data.loader import Loader
 from youtube_vln_tpu.evaluation.beam_eval import convert_scores, eval_epoch
 from youtube_vln_tpu.models import init_lily_params
 from youtube_vln_tpu.training import checkpoint as ckpt
-from youtube_vln_tpu.training.engine import load_beam_dataset, \
-    resolve_tokenizer
+from youtube_vln_tpu.training.engine import (load_beam_dataset,
+                                             maybe_enable_compilation_cache,
+                                             resolve_tokenizer)
 from youtube_vln_tpu.data.features_reader import PanoFeaturesReader
 from youtube_vln_tpu.utils.cli import get_parser, args_to_run_config
 from youtube_vln_tpu.utils.entry import build_model_config
@@ -44,6 +45,9 @@ def main(argv=None):
     ns.gradient_accumulation_steps = 1
     ns.ranking = True
     args = args_to_run_config(ns)
+    # this entry bypasses Engine, so wire the persistent compilation
+    # cache here too (the scorer jit is the expensive compile)
+    maybe_enable_compilation_cache(args)
 
     set_seed(args.seed, jax.process_index())
 
