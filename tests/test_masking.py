@@ -104,3 +104,60 @@ def test_jax_variants_match_semantics(rng):
     np.testing.assert_array_equal(f2[m2 == 0], feats[m2 == 0])
     np.testing.assert_allclose(t2[m2 == 0], 1 / 5, atol=1e-6)
     np.testing.assert_array_equal(t2[m2 == 1], probs[m2 == 1])
+
+
+def test_masking_same_draws_matches_live_reference():
+    """Run the ACTUAL reference randomize_tokens/randomize_regions (torch)
+    and ours on the SAME uniform/randint draws (captured by replaying
+    torch's rng calls in the reference's order) — outputs must be
+    identical.  The golden tests above pin the formula; this pins that the
+    formula matches the live reference code, not a shared misreading.
+    mask_action_rate stays 0 (the published recipes' value): the action
+    branch enumerates positions grouped by action token while we use
+    row-major order — distribution-equal (uniform over the same position
+    set, pinned by test_action_masking) but not draw-identical."""
+    import torch
+    from types import SimpleNamespace
+    from conftest import import_reference_common
+
+    ref = import_reference_common()
+    rng = np.random.default_rng(5)
+
+    vocab = {f"t{i}": i for i in range(120)}
+    vocab["[MASK]"] = 103
+    tok_stub = SimpleNamespace(vocab=vocab)
+    args_stub = SimpleNamespace(mask_action_rate=0.0)
+
+    tokens = rng.integers(5, 100, size=(6, 16))
+    mask = (rng.random((6, 16)) < 0.9).astype(np.int64)
+
+    torch.manual_seed(11)
+    ref_out, ref_tgt = ref.randomize_tokens(
+        torch.from_numpy(tokens.copy()), torch.from_numpy(mask),
+        tok_stub, args_stub)
+
+    # replay torch's draws in the reference's call order
+    torch.manual_seed(11)
+    u = torch.rand_like(torch.from_numpy(tokens).float()).numpy()
+    randints = torch.randint_like(torch.from_numpy(tokens),
+                                  len(vocab)).numpy()
+    out, tgt = M.randomize_tokens_np(tokens, mask, len(vocab), 103,
+                                     FakeRng(u, randints))
+    np.testing.assert_array_equal(out, ref_out.numpy())
+    np.testing.assert_array_equal(tgt, ref_tgt.numpy())
+
+    # regions
+    feats = rng.normal(size=(4, 9, 7)).astype(np.float32)
+    probs = rng.random((4, 9, 5)).astype(np.float32)
+    rmask = (rng.random((4, 9)) < 0.9).astype(np.int64)
+
+    torch.manual_seed(12)
+    rf, rt, rm = ref.randomize_regions(
+        torch.from_numpy(feats.copy()), torch.from_numpy(probs),
+        torch.from_numpy(rmask))
+    torch.manual_seed(12)
+    u2 = torch.rand_like(torch.from_numpy(rmask).float()).numpy()
+    of, ot, om = M.randomize_regions_np(feats, probs, rmask, FakeRng(u2))
+    np.testing.assert_array_equal(of, rf.numpy())
+    np.testing.assert_array_equal(ot, rt.numpy())
+    np.testing.assert_array_equal(om, rm.numpy())
