@@ -257,3 +257,107 @@ def test_sparse_task_heads_equal_dense(rng):
     for k in ("loss/vision", "loss/language", "loss/ranking", "loss/traj",
               "loss/train"):
         assert float(m_sp[k]) == pytest.approx(float(m_dn[k]), rel=1e-5), k
+
+
+def test_losses_match_live_reference(rng):
+    """Drive the ACTUAL reference get_loss_correct (utils/utils_init.py) on
+    a reference-shaped 17-tuple batch and compare every task's loss AND
+    correct against compute_task_losses on the dense equivalent.  The
+    oracle tests above re-derive the formulas with torch.nn.functional;
+    this pins them against the live reference code.  Padded rows carry
+    random garbage on our side (their contribution must be masked out).
+    traj is compared on the all-real batch only — with padding the
+    reference averages over sigmoid(-inf) rows, which it can never
+    actually produce (documented deviation, see traj_judge_loss)."""
+    import sys
+    from types import SimpleNamespace
+    from conftest import import_reference_common
+
+    import_reference_common()
+    from utils import utils_init as ref_ui
+
+    from youtube_vln_tpu.training.losses import compute_task_losses
+
+    bs, nc, s_t, s_v, C, V = 3, 5, 7, 6, 11, 50
+    args_stub = SimpleNamespace(ranking=True, not_traj_judge_data=False,
+                                pretrain=True, num_negatives=1)
+
+    for padded, training in ((False, True), (False, False), (True, True)):
+        opt = np.ones((bs, nc), bool)
+        if padded:
+            opt[0, -1] = opt[2, -2:] = False
+        n_real = int(opt.sum())
+
+        vision_real = rng.normal(size=(n_real, s_v, C)).astype(np.float32)
+        language_real = rng.normal(size=(n_real, s_t, V)).astype(np.float32)
+        ranking_real = rng.normal(size=(n_real, 1)).astype(np.float32)
+        traj_real = rng.normal(size=(n_real, 1)).astype(np.float32)
+
+        img_targets = rng.dirichlet(np.ones(C), size=(bs, nc, s_v)
+                                    ).astype(np.float32)
+        img_tmask = (rng.random((bs, nc, s_v)) < 0.3).astype(np.int64)
+        instr_targets = np.where(rng.random((bs, nc, s_t)) < 0.2,
+                                 rng.integers(0, V, (bs, nc, s_t)),
+                                 -1).astype(np.int64)
+        if training:
+            rank_target = rng.integers(0, nc, (bs,)).astype(np.int64)
+        else:
+            rank_target = (rng.random((bs, nc)) < 0.4).astype(np.float32)
+
+        batch17 = [None] * 17
+        batch17[0] = torch.from_numpy(rank_target)
+        batch17[1] = torch.zeros((bs, nc, s_v, 4))
+        batch17[4] = torch.from_numpy(img_targets)
+        batch17[5] = torch.from_numpy(img_tmask)
+        batch17[8] = torch.from_numpy(instr_targets)
+        batch17[13] = torch.from_numpy(opt)
+
+        ref_outputs = {
+            "vision": torch.from_numpy(vision_real),
+            "language": torch.from_numpy(language_real),
+            "ranking": torch.from_numpy(ranking_real),
+            "traj": torch.from_numpy(traj_real),
+        }
+        ref_vals = {}
+        for task in ("vision", "language", "ranking", "traj"):
+            _, _, loss, correct = ref_ui.get_loss_correct(
+                batch17, ref_outputs, task, args_stub, None, training)
+            ref_vals[task] = (float(loss), float(correct))
+
+        # dense layout: scatter the real rows, garbage elsewhere
+        def scatter(real, tail_shape):
+            dense = rng.normal(size=(bs * nc,) + tail_shape
+                               ).astype(np.float32)
+            dense[opt.reshape(-1)] = real
+            return dense
+
+        outputs = {
+            "vision": scatter(vision_real, (s_v, C)),
+            "language": scatter(language_real, (s_t, V)),
+            "ranking": scatter(ranking_real, (1,)),
+            "traj": scatter(traj_real, (1,)),
+        }
+        batch = dict(
+            opt_mask=opt, ranking_target=rank_target,
+            image_targets=img_targets.reshape(bs * nc, s_v, C),
+            image_targets_mask=img_tmask.reshape(bs * nc, s_v),
+            instr_targets=instr_targets.reshape(bs * nc, s_t))
+        tasks = dict(ranking=True, traj_judge=not padded,
+                     masked_vision=True, masked_language=True,
+                     pretrain=True, num_negatives=1, traj_loss_scale=1.0,
+                     not_traj_judge_data=False, training=training)
+        _, metrics = compute_task_losses(outputs, batch, tasks)
+
+        for task, key in (("vision", "loss/vision"),
+                          ("language", "loss/language"),
+                          ("ranking", "loss/ranking")):
+            np.testing.assert_allclose(float(metrics[key]),
+                                       ref_vals[task][0], rtol=2e-5,
+                                       err_msg=f"{task} {padded} {training}")
+        np.testing.assert_allclose(float(metrics["correct/ranking"]),
+                                   ref_vals["ranking"][1], rtol=1e-6)
+        if not padded:
+            np.testing.assert_allclose(float(metrics["loss/traj"]),
+                                       ref_vals["traj"][0], rtol=2e-5)
+            np.testing.assert_allclose(float(metrics["correct/traj"]),
+                                       ref_vals["traj"][1], rtol=1e-6)
