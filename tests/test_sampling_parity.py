@@ -457,3 +457,49 @@ def test_ytb_rephrase_generator_exact_parity(ref, tmp_path):
                 our_ids, our_tpl = our_gen(list(traj))
                 assert list(ref_ids) == list(our_ids), (random_action, seed)
                 assert ref_tpl == our_tpl, (random_action, seed)
+
+
+def test_nav_graph_headings_exact_parity(ref, tmp_path, monkeypatch):
+    """load_nav_graphs + get_headings vs the reference implementations on
+    the same connectivity fixture: identical edge sets, edge weights,
+    node positions, and heading chains (the reference loader hardcodes
+    'data/connectivity/...', hence the chdir)."""
+    from youtube_vln_tpu.data import fixtures as F
+    from youtube_vln_tpu.data.nav_graph import (get_headings,
+                                                load_nav_graphs)
+
+    root = tmp_path / "data"
+    F.build_r2r_fixture(root, n_scans=2, n_viewpoints=9)
+    scans = sorted(p.name.split("_")[0]
+                   for p in (root / "connectivity").glob("*_connectivity*"))
+
+    monkeypatch.chdir(tmp_path)
+    ref_graphs = ref.load_nav_graphs(scans)
+    our_graphs = load_nav_graphs(scans, data_dir=str(root))
+
+    rng = random.Random(3)
+    for scan in scans:
+        rg, og = ref_graphs[scan], our_graphs[scan]
+        assert set(rg.edges) == set(og.edges)
+        for u, v in rg.edges:
+            np.testing.assert_allclose(rg[u][v]["weight"],
+                                       og[u][v]["weight"], rtol=1e-12)
+        rpos = dict(rg.nodes(data="position"))
+        opos = dict(og.nodes(data="position"))
+        assert set(rpos) == set(opos)
+        for k in rpos:
+            np.testing.assert_array_equal(rpos[k], opos[k])
+
+        # heading chains over random walks
+        nodes = sorted(og.nodes)
+        for _ in range(10):
+            path = [rng.choice(nodes)]
+            for _ in range(4):
+                nbrs = sorted(og.neighbors(path[-1]))
+                if not nbrs:
+                    break
+                path.append(rng.choice(nbrs))
+            h0 = rng.uniform(-np.pi, np.pi)
+            np.testing.assert_allclose(
+                get_headings(og, path, h0),
+                ref.get_headings(rg, path, h0), rtol=1e-12)
