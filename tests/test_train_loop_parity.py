@@ -1,0 +1,343 @@
+"""Cross-stack fine-tune LOOP parity: the reference train.py epoch driven
+LIVE against our Engine on the same fixture, same checkpoint, same draws.
+
+Both stacks run ONE fine-tune epoch (R2R beam re-ranking, the 30RS recipe
+shape: ranking task + shuffled-visual free negatives) end to end:
+
+  * reference: BeamDataset(Train=True) -> DataLoader ->
+    ``utils_init.train_epoch`` (torch Lily + AdamW + WarmupLinearSchedule,
+    reference train.py:109-121) then ``utils_init.val_epoch`` on
+    val_seen/val_unseen (train.py:135-188)
+  * ours: the real ``Engine`` (engine.train_epoch + engine.evaluate) with
+    its loader swapped for a shuffle-off one
+
+and must produce the same per-step ``loss/train`` trajectory, the same
+val success rates and val losses, and near-identical final parameters.
+
+RNG alignment: our Loader seeds the dataset PER ITEM
+(``loader._item_seed`` — so num_workers never changes the data); the
+reference draws from the continuous global ``random`` / ``np.random``
+streams.  The test aligns them by (a) overriding our dataset's ``reseed``
+to hand out ``np.random.RandomState`` (MT19937, the legacy global
+generator) instead of PCG64, and (b) wrapping the reference dataset so
+each ``__getitem__`` first seeds the global streams with the SAME
+per-item seed.  Within one item both sides make identical draw sequences
+(positive ``choice``, negative ``choice``, then the shuffler —
+all_dataset.py:717-748 vs datasets.py:_select_training_paths), and the
+shufflers are draw-for-draw identical at fixture path length
+(sampling.py:34-64 keeps the reference's exhaustive behavior for n<=6),
+so per-item seeding makes the items bit-identical.
+
+Dropout is zeroed through the config on both sides (plus the reference
+Lily's hard-coded fused-pool ``model.dropout`` — lily.py ctor), so the
+trajectories are deterministic.
+"""
+import json
+import random
+import sys
+import types
+from pathlib import Path
+from types import SimpleNamespace
+
+import numpy as np
+import pytest
+
+import jax
+
+from conftest import import_reference_vilbert
+import fake_lmdb
+
+from youtube_vln_tpu.data import fixtures as F
+from youtube_vln_tpu.data.loader import Loader, _item_seed
+
+SEED = 123
+LR = 1e-3
+BS = 2
+GEOM = dict(max_instruction_length=32, max_path_length=4, max_num_boxes=5)
+
+
+@pytest.fixture(scope="module")
+def env(tmp_path_factory):
+    root = tmp_path_factory.mktemp("trainloop")
+    data_dir = root / "data"
+    paths = F.build_full_fixture(data_dir)
+    paths["root"] = str(root)
+    paths["pano_lmdb"] = fake_lmdb.store_to_lmdb_pickle(
+        paths["pano_store"], root / "pano_lmdb.pkl")
+
+    # zero-dropout config (deterministic trajectories on both stacks)
+    cfg_json = json.load(open(paths["config_file"]))
+    cfg_json.update(hidden_dropout_prob=0.0,
+                    attention_probs_dropout_prob=0.0,
+                    v_hidden_dropout_prob=0.0,
+                    v_attention_probs_dropout_prob=0.0)
+    nodrop = Path(paths["config_file"]).with_name("tiny_nodrop.json")
+    json.dump(cfg_json, open(nodrop, "w"))
+    paths["nodrop_config"] = str(nodrop)
+
+    # one shared random-init checkpoint in the reference .bin layout
+    from youtube_vln_tpu.config import LilyConfig
+    from youtube_vln_tpu.models import init_lily_params
+    from youtube_vln_tpu.models.torch_io import save_torch_checkpoint
+    cfg = LilyConfig(**{k: tuple(v) if isinstance(v, list) else v
+                        for k, v in cfg_json.items()},
+                     fusion_dropout_prob=0.0, compute_dtype="float32",
+                     use_pallas_attention=False)
+    params = init_lily_params(jax.random.PRNGKey(7), cfg)
+    ckpt = root / "shared.bin"
+    save_torch_checkpoint(str(ckpt), params, cfg, extra={"epoch": 0})
+    paths["ckpt"] = str(ckpt)
+    paths["cfg"] = cfg
+    return paths
+
+
+def _run_ours(env):
+    from youtube_vln_tpu.config import RunConfig
+    from youtube_vln_tpu.models.torch_io import params_to_state_dict
+    from youtube_vln_tpu.training.engine import Engine
+
+    args = RunConfig(
+        pretrain=False, ranking=True, shuffle_visual_features=True,
+        num_negatives=2, num_beams=4, num_beams_train=4,
+        batch_size=BS, gradient_accumulation_steps=1,
+        learning_rate=LR, num_epochs=1, warmup_proportion=0.2,
+        cooldown_factor=2.0, weight_decay=1e-2, seed=SEED,
+        num_workers=0, compute_dtype="float32",
+        io_dtype="float32", use_pallas_attention=False,
+        data_dir=env["data_dir"], img_feature=env["pano_store"],
+        bert_tokenizer=env["vocab_path"], config_file=env["nodrop_config"],
+        from_pretrained=env["ckpt"], **GEOM)
+    engine = Engine(args, env["cfg"])
+    try:
+        # shuffle-off loader with the SAME length (schedule t_total was
+        # derived from the original drop_last=True loader at init)
+        steps = len(engine.train_loader)
+        engine.train_loader = Loader(engine.train_ds, BS, shuffle=False,
+                                     seed=SEED, num_workers=0,
+                                     drop_last=True)
+        assert len(engine.train_loader) == steps
+
+        # per-item reseed with the LEGACY MT19937 generator so the np
+        # draws match the reference's global np.random stream
+        def _reseed_mt(self, s):
+            self.rng.seed(s)
+            self.np_rng = np.random.RandomState(s)
+
+        engine.train_ds.reseed = types.MethodType(_reseed_mt,
+                                                  engine.train_ds)
+
+        rec = []
+        orig = engine._train_step
+
+        def wrapped(state, batch, rng):
+            state, m = orig(state, batch, rng)
+            rec.append(m)
+            return state, m
+
+        engine._train_step = wrapped
+        engine.train_epoch(0)
+        losses = [float(m["loss/train"]) for m in rec]
+        val = {t: engine.evaluate(t) for t in ("val_seen", "val_unseen")}
+        sd = params_to_state_dict(
+            jax.tree_util.tree_map(np.asarray, engine.state.params),
+            env["cfg"])
+        return losses, val, sd, steps
+    finally:
+        engine.close()
+
+
+def _run_reference(env, monkeypatch):
+    import torch
+
+    # real transformers/requests before the conftest stubs land
+    try:
+        import requests  # noqa: F401
+    except ImportError:
+        pass
+    from transformers import BertTokenizer
+
+    import_reference_vilbert()        # sys.path + boto3/requests stubs
+    fake_lmdb.install()
+    import collections
+    import inspect
+    if not hasattr(inspect, "ArgSpec"):
+        inspect.ArgSpec = collections.namedtuple(
+            "ArgSpec", "args varargs keywords defaults")
+    sys.modules.setdefault("pyfiglet", types.ModuleType("pyfiglet"))
+    sys.modules["pyfiglet"].figlet_format = lambda *a, **k: ""
+    if "argtyped" not in sys.modules:
+        argtyped = types.ModuleType("argtyped")
+
+        class _Arguments:
+            def __init_subclass__(cls, **kwargs):
+                pass
+
+        argtyped.Arguments = _Arguments
+        sys.modules["argtyped"] = argtyped
+    monkeypatch.chdir(env["root"])
+    monkeypatch.setattr(torch.Tensor, "cuda",
+                        lambda self, *a, **k: self, raising=True)
+
+    # force independent tokenization (our stack cached *_tokenized_*.json)
+    for p in Path(env["data_dir"], "task").glob("*_tokenized_*.json"):
+        p.unlink()
+
+    tokenizer = BertTokenizer(vocab_file=env["vocab_path"])
+    from utils.dataset.features_reader import PanoFeaturesReader
+    from utils.dataset.dataset_init import load_BeamDataset
+    reader = PanoFeaturesReader(env["pano_lmdb"])
+
+    args = SimpleNamespace(
+        batch_size=BS, gradient_accumulation_steps=1,
+        num_beams=4, num_beams_train=4,
+        ranking=True, traj_judge=False, not_traj_judge_data=False,
+        masked_vision=False, masked_language=False, num_negatives=2,
+        shuffle_visual_features=True, ground_truth_trajectory=False,
+        random_testing=False, r2r_prefix="", beam_prefix="",
+        num_workers=0, local_rank=-1, world_size=1,
+        skip_all_reduce=True, traj_loss_scale=1.0, **GEOM)
+
+    train_ds = load_BeamDataset("train", args, tokenizer, reader, True,
+                                Train=True)
+
+    class _Seeded(torch.utils.data.Dataset):
+        """Seed the global RNG streams per item with the same seeds our
+        Loader hands the dataset (loader.py:_item_seed, epoch 0)."""
+
+        def __init__(self, ds):
+            self.ds = ds
+
+        def __len__(self):
+            return len(self.ds)
+
+        def __getitem__(self, i):
+            s = _item_seed(SEED, 0, int(i))
+            random.seed(s)
+            np.random.seed(s)
+            return self.ds[i]
+
+    from torch.utils.data import DataLoader
+    train_loader = DataLoader(_Seeded(train_ds), shuffle=False,
+                              batch_size=BS, num_workers=0, drop_last=True)
+    val_loaders = {
+        t: DataLoader(load_BeamDataset(t, args, tokenizer, reader, True,
+                                       Train=False),
+                      shuffle=False, batch_size=BS, num_workers=0)
+        for t in ("val_seen", "val_unseen")}
+
+    # reference Lily with the shared checkpoint, dropout fully off
+    ref = sys.modules["vilbert.vilbert"]
+    from lily import Lily
+    cfg_json = json.load(open(env["nodrop_config"]))
+    ref_cfg = ref.BertConfig(**{k: tuple(v) if isinstance(v, list) else v
+                                for k, v in cfg_json.items()})
+    ref_cfg.args = SimpleNamespace(model_name="vilbert", ranking=True,
+                                   traj_judge=False, masked_vision=False,
+                                   masked_language=False, num_negatives=2)
+    model = Lily(ref_cfg)
+    payload = torch.load(env["ckpt"], map_location="cpu",
+                         weights_only=False)
+    missing, unexpected = model.load_state_dict(
+        payload["model_state_dict"], strict=False)
+    assert not missing and not unexpected, (missing[:4], unexpected[:4])
+    model.train()
+    model.dropout.p = 0.0  # Lily's fused-pool dropout is a literal 0.1
+
+    # optimizer + schedule: the same numbers our make_schedule derives
+    # (optimization.py:110-129) fed to the reference classes
+    from vilbert.optimization import AdamW, WarmupLinearSchedule
+    no_decay = ["bias", "LayerNorm.weight", "LayerNorm.bias"]
+    groups = [{"params": [], "weight_decay": 0.0},
+              {"params": [], "weight_decay": 1e-2}]
+    for name, param in model.named_parameters():
+        groups[0 if any(nd in name for nd in no_decay) else 1][
+            "params"].append(param)
+    opt = AdamW(groups, lr=LR)
+    t_total = float(len(train_loader))         # 1 epoch
+    warmup = 0.2 * t_total
+    adjusted = warmup + 2.0 * (t_total - warmup)
+    sched = WarmupLinearSchedule(opt, warmup_steps=warmup, t_total=adjusted)
+
+    from utils.misc import NoneLogger
+    from utils.utils_init import train_epoch, val_epoch
+
+    class _Writer:
+        def __init__(self):
+            self.scalars = {}
+
+        def add_scalar(self, name, value, global_step=None):
+            self.scalars.setdefault(name, []).append(float(value))
+
+    w = _Writer()
+    log = NoneLogger()
+    train_epoch(0, model, opt, sched, train_loader, w, True, args, log)
+    ref_losses = w.scalars["loss/train"]
+
+    srs, vls = {}, {}
+    with torch.no_grad():
+        for t in ("val_seen", "val_unseen"):
+            sr = val_epoch(0, model, t, val_loaders[t], w, True, args, 0,
+                           log, "ranking")
+            srs[t] = float(sr)
+            vls[t] = w.scalars[f"loss/ranking_{t}"][-1]
+    sd = {k: v.detach().numpy() for k, v in model.state_dict().items()}
+    init_sd = {k: np.asarray(v) for k, v in
+               payload["model_state_dict"].items()}
+    return ref_losses, srs, vls, sd, init_sd
+
+
+def test_finetune_loop_parity(env, monkeypatch):
+    our_losses, our_val, our_sd, steps = _run_ours(env)
+    (ref_losses, ref_srs, ref_vls, ref_sd,
+     init_sd) = _run_reference(env, monkeypatch)
+
+    # 1. same step count, same per-step training-loss trajectory.
+    # Documented deviation (MIGRATION.md): a batch whose every ranking
+    # target is the -1 ignore index yields CE = NaN in the reference
+    # (0/0 normalization; gradients are still zero) and 0.0 here
+    # (safe division).  The fixture seed produces exactly one such batch
+    # — assert the mapping instead of skipping it, and require the
+    # trajectories to re-converge exactly afterwards (they do: both
+    # stacks step the optimizer with zero gradients there).
+    assert len(our_losses) == len(ref_losses) == steps
+    assert ref_losses[0] > 0.05            # non-vacuous batches
+    ref_arr = np.asarray(ref_losses)
+    our_arr = np.asarray(our_losses)
+    nan_steps = np.isnan(ref_arr)
+    assert np.all(our_arr[nan_steps] == 0.0), (our_losses, ref_losses)
+    np.testing.assert_allclose(
+        our_arr[~nan_steps], ref_arr[~nan_steps], rtol=2e-3,
+        err_msg=f"ours={our_losses} ref={ref_losses}")
+
+    # 2. val_epoch: identical success rates, matching val losses
+    for t in ("val_seen", "val_unseen"):
+        assert abs(our_val[t]["accuracy/ranking"] - ref_srs[t]) < 1e-6, \
+            (t, our_val[t], ref_srs[t])
+        np.testing.assert_allclose(our_val[t]["loss/ranking"], ref_vls[t],
+                                   rtol=2e-3, err_msg=t)
+
+    # 3. final parameters: same key set, tensors aligned in direction.
+    # Per-element compare is brittle for near-zero-gradient elements
+    # (bias-corrected Adam's first update is ~sign(g), so an O(1e-7)
+    # cross-stack grad difference can flip single elements by 2*lr);
+    # rel-L2 per tensor pins the structure (a transposed import, a wrong
+    # decay group, or a schedule bug shows as O(0.1-1) divergence).
+    # Near-zero tensors get an absolute escape: vil_logit.bias starts at 0
+    # and its batch-summed gradient nearly cancels, so after 7 warmup
+    # steps BOTH stacks sit at ~1e-5 with rel-L2 dominated by float noise
+    # (measured: ours 2.3e-6 vs ref 8.9e-6).  1e-4 is a tenth of one
+    # full-lr Adam step — a structural bug moves tensors by O(lr*steps).
+    assert set(our_sd) == set(ref_sd)
+    for k in sorted(ref_sd):
+        a = np.asarray(our_sd[k], np.float32).ravel()
+        b = np.asarray(ref_sd[k], np.float32).ravel()
+        denom = max(float(np.linalg.norm(b)), 1e-6)
+        rel = float(np.linalg.norm(a - b)) / denom
+        absd = float(np.max(np.abs(a - b))) if a.size else 0.0
+        assert rel < 2e-2 or absd < 1e-4, (k, rel, absd)
+
+    # 4. the epoch actually trained: parameters moved from the shared init
+    moved = max(float(np.max(np.abs(np.asarray(ref_sd[k], np.float32)
+                                    - np.asarray(init_sd[k], np.float32))))
+                for k in ref_sd)
+    assert moved > 1e-4, moved
