@@ -1,8 +1,11 @@
 """Cross-stack fine-tune LOOP parity: the reference train.py epoch driven
 LIVE against our Engine on the same fixture, same checkpoint, same draws.
 
-Both stacks run ONE fine-tune epoch (R2R beam re-ranking, the 30RS recipe
-shape: ranking task + shuffled-visual free negatives) end to end:
+Both stacks run ONE fine-tune epoch end to end, in two recipes: R2R beam
+re-ranking (the 30RS shape: ranking task + shuffled-visual free
+negatives) and the combined ranking+traj_judge recipe (same item
+assembly — all_dataset.py:593 keeps the judge DATA branch off when
+ranking is on — plus the scaled judge loss, utils_init.py:223):
 
   * reference: BeamDataset(Train=True) -> DataLoader ->
     ``utils_init.train_epoch`` (torch Lily + AdamW + WarmupLinearSchedule,
@@ -53,6 +56,11 @@ from youtube_vln_tpu.data.loader import Loader, _item_seed
 SEED = 123
 LR = 1e-3
 BS = 2
+# non-trivial scale so the combined recipe pins the traj_loss_scale
+# wiring: both stacks LOG unscaled per-task losses but BACKPROP the
+# scaled sum (utils_init.py:223-228 vs losses.py:compute_task_losses),
+# so a wrong scale shows up in the final-params check
+TRAJ_SCALE = 0.7
 GEOM = dict(max_instruction_length=32, max_path_length=4, max_num_boxes=5)
 
 
@@ -91,13 +99,16 @@ def env(tmp_path_factory):
     return paths
 
 
-def _run_ours(env):
+def _run_ours(env, traj_judge=False):
+    import dataclasses
+
     from youtube_vln_tpu.config import RunConfig
     from youtube_vln_tpu.models.torch_io import params_to_state_dict
     from youtube_vln_tpu.training.engine import Engine
 
     args = RunConfig(
         pretrain=False, ranking=True, shuffle_visual_features=True,
+        traj_judge=traj_judge, traj_loss_scale=TRAJ_SCALE,
         num_negatives=2, num_beams=4, num_beams_train=4,
         batch_size=BS, gradient_accumulation_steps=1,
         learning_rate=LR, num_epochs=1, warmup_proportion=0.2,
@@ -107,7 +118,8 @@ def _run_ours(env):
         data_dir=env["data_dir"], img_feature=env["pano_store"],
         bert_tokenizer=env["vocab_path"], config_file=env["nodrop_config"],
         from_pretrained=env["ckpt"], **GEOM)
-    engine = Engine(args, env["cfg"])
+    cfg = dataclasses.replace(env["cfg"], traj_judge=traj_judge)
+    engine = Engine(args, cfg)
     try:
         # shuffle-off loader with the SAME length (schedule t_total was
         # derived from the original drop_last=True loader at init)
@@ -136,17 +148,18 @@ def _run_ours(env):
 
         engine._train_step = wrapped
         engine.train_epoch(0)
-        losses = [float(m["loss/train"]) for m in rec]
+        keys = ["loss/train", "loss/ranking"] + (
+            ["loss/traj"] if traj_judge else [])
+        series = {k: [float(m[k]) for m in rec] for k in keys}
         val = {t: engine.evaluate(t) for t in ("val_seen", "val_unseen")}
         sd = params_to_state_dict(
-            jax.tree_util.tree_map(np.asarray, engine.state.params),
-            env["cfg"])
-        return losses, val, sd, steps
+            jax.tree_util.tree_map(np.asarray, engine.state.params), cfg)
+        return series, val, sd, steps
     finally:
         engine.close()
 
 
-def _run_reference(env, monkeypatch):
+def _run_reference(env, monkeypatch, traj_judge=False):
     import torch
 
     # real transformers/requests before the conftest stubs land
@@ -189,13 +202,13 @@ def _run_reference(env, monkeypatch):
 
     args = SimpleNamespace(
         batch_size=BS, gradient_accumulation_steps=1,
-        num_beams=4, num_beams_train=4,
-        ranking=True, traj_judge=False, not_traj_judge_data=False,
+        num_beams=4, num_beams_train=4, pretrain=False,
+        ranking=True, traj_judge=traj_judge, not_traj_judge_data=False,
         masked_vision=False, masked_language=False, num_negatives=2,
         shuffle_visual_features=True, ground_truth_trajectory=False,
         random_testing=False, r2r_prefix="", beam_prefix="",
         num_workers=0, local_rank=-1, world_size=1,
-        skip_all_reduce=True, traj_loss_scale=1.0, **GEOM)
+        skip_all_reduce=True, traj_loss_scale=TRAJ_SCALE, **GEOM)
 
     train_ds = load_BeamDataset("train", args, tokenizer, reader, True,
                                 Train=True)
@@ -232,7 +245,7 @@ def _run_reference(env, monkeypatch):
     ref_cfg = ref.BertConfig(**{k: tuple(v) if isinstance(v, list) else v
                                 for k, v in cfg_json.items()})
     ref_cfg.args = SimpleNamespace(model_name="vilbert", ranking=True,
-                                   traj_judge=False, masked_vision=False,
+                                   traj_judge=traj_judge, masked_vision=False,
                                    masked_language=False, num_negatives=2)
     model = Lily(ref_cfg)
     payload = torch.load(env["ckpt"], map_location="cpu",
@@ -271,7 +284,9 @@ def _run_reference(env, monkeypatch):
     w = _Writer()
     log = NoneLogger()
     train_epoch(0, model, opt, sched, train_loader, w, True, args, log)
-    ref_losses = w.scalars["loss/train"]
+    keys = ["loss/train", "loss/ranking"] + (
+        ["loss/traj"] if traj_judge else [])
+    ref_series = {k: w.scalars[k] for k in keys}
 
     srs, vls = {}, {}
     with torch.no_grad():
@@ -283,31 +298,48 @@ def _run_reference(env, monkeypatch):
     sd = {k: v.detach().numpy() for k, v in model.state_dict().items()}
     init_sd = {k: np.asarray(v) for k, v in
                payload["model_state_dict"].items()}
-    return ref_losses, srs, vls, sd, init_sd
+    return ref_series, srs, vls, sd, init_sd
 
 
-def test_finetune_loop_parity(env, monkeypatch):
-    our_losses, our_val, our_sd, steps = _run_ours(env)
-    (ref_losses, ref_srs, ref_vls, ref_sd,
-     init_sd) = _run_reference(env, monkeypatch)
+@pytest.mark.parametrize("traj_judge", [False, True],
+                         ids=["ranking", "ranking+judge"])
+def test_finetune_loop_parity(env, monkeypatch, traj_judge):
+    our_series, our_val, our_sd, steps = _run_ours(env, traj_judge)
+    (ref_series, ref_srs, ref_vls, ref_sd,
+     init_sd) = _run_reference(env, monkeypatch, traj_judge)
 
-    # 1. same step count, same per-step training-loss trajectory.
+    # 1. same step count, same per-step per-task loss trajectories.
     # Documented deviation (MIGRATION.md): a batch whose every ranking
     # target is the -1 ignore index yields CE = NaN in the reference
     # (0/0 normalization; gradients are still zero) and 0.0 here
     # (safe division).  The fixture seed produces exactly one such batch
     # — assert the mapping instead of skipping it, and require the
     # trajectories to re-converge exactly afterwards (they do: both
-    # stacks step the optimizer with zero gradients there).
-    assert len(our_losses) == len(ref_losses) == steps
-    assert ref_losses[0] > 0.05            # non-vacuous batches
-    ref_arr = np.asarray(ref_losses)
-    our_arr = np.asarray(our_losses)
-    nan_steps = np.isnan(ref_arr)
-    assert np.all(our_arr[nan_steps] == 0.0), (our_losses, ref_losses)
-    np.testing.assert_allclose(
-        our_arr[~nan_steps], ref_arr[~nan_steps], rtol=2e-3,
-        err_msg=f"ours={our_losses} ref={ref_losses}")
+    # stacks step the optimizer with zero gradients there).  The traj
+    # series is NaN-free (its targets don't depend on the ranking
+    # target) and must match everywhere.
+    assert set(our_series) == set(ref_series)
+    assert all(len(s) == steps for s in our_series.values())
+    assert all(len(s) == steps for s in ref_series.values())
+    assert ref_series["loss/ranking"][0] > 0.05    # non-vacuous batches
+    nan_steps = np.isnan(np.asarray(ref_series["loss/ranking"]))
+    for k in our_series:
+        ref_arr = np.asarray(ref_series[k])
+        our_arr = np.asarray(our_series[k])
+        if k == "loss/traj":
+            assert not np.isnan(ref_arr).any()
+            np.testing.assert_allclose(our_arr, ref_arr, rtol=2e-3,
+                                       err_msg=k)
+            continue
+        np.testing.assert_array_equal(np.isnan(ref_arr), nan_steps, k)
+        # at the NaN step ours drops only the ranking term
+        expect_nan = (np.asarray(our_series["loss/traj"])[nan_steps]
+                      if traj_judge and k == "loss/train" else 0.0)
+        np.testing.assert_allclose(our_arr[nan_steps], expect_nan,
+                                   rtol=1e-6, err_msg=k)
+        np.testing.assert_allclose(
+            our_arr[~nan_steps], ref_arr[~nan_steps], rtol=2e-3,
+            err_msg=f"{k}: ours={our_arr} ref={ref_arr}")
 
     # 2. val_epoch: identical success rates, matching val losses
     for t in ("val_seen", "val_unseen"):
