@@ -1,0 +1,426 @@
+"""Cross-stack PRETRAIN loop parity: the reference train_epoch/test_epoch
+driven LIVE against our Engine on the same YTb fixture, checkpoint, and
+per-item draws.
+
+Both stacks run ONE pretraining epoch (YouTube house tours: MLM + MVM +
+ranking, gradient accumulation 2) end to end:
+
+  * reference: YTbDataset -> DataLoader -> ``utils_init.train_epoch``
+    (torch Lily + AdamW + WarmupLinearSchedule, reference pretrain.py:113)
+    then ``utils_init.test_epoch`` on the frozen testset split
+    (pretrain.py:126-138)
+  * ours: the real ``Engine`` (engine.train_epoch + engine.evaluate) with
+    its loader swapped for a shuffle-off one
+
+and must produce matching per-microbatch task-loss trajectories (ours
+logs per OPTIMIZER step, averaged over the accumulation pack — compared
+against the pairwise mean of the reference's per-microbatch scalars),
+matching testset ranking loss/success-rate, and near-identical final
+parameters.
+
+RNG alignment (three independent streams):
+
+  * python ``random`` — trajectory sampling, negatives, template
+    insertion, instruction generation.  Our dataset draws from
+    ``self.rng`` (an MT19937 ``random.Random``); the reference draws from
+    the global ``random`` module.  Per-item seeding aligns them (the
+    samplers/generators are exact-sequence parity-pinned by
+    tests/test_sampling_parity.py).  One deviation needs compensation:
+    the reference BaseDataset.__getitem__ draws
+    ``random.choice(self._build_instructions)`` per item
+    (all_dataset.py:182) — a 1-element list, but ``_randbelow(1)`` still
+    consumes getrandbits(1) until it sees a 0 — so our side burns the
+    identical draw right before the item's first instruction (see
+    ``_burned`` below).
+  * torch — BERT-style token/region masking (common.py:213-300 uses
+    torch.rand_like / randint_like).  Our np masking implementations are
+    same-draws-equality pinned (tests/test_masking.py) but consume a
+    DIFFERENT generator, so for the live loop our dataset's masking hooks
+    are swapped for shims that call the reference torch functions
+    directly; per-item ``torch.manual_seed`` on both sides makes the
+    masks bit-identical.
+  * numpy — unused in this recipe (mask_action_rate=0 keeps
+    np.random.choice out of randomize_tokens).
+
+Dropout is zeroed through the config on both sides (plus the reference
+Lily's hard-coded fused-pool dropout), so the runs are deterministic.
+"""
+import json
+import random
+import sys
+import types
+from pathlib import Path
+from types import SimpleNamespace
+
+import numpy as np
+import pytest
+
+import jax
+
+from conftest import import_reference_common, import_reference_vilbert
+import fake_lmdb
+
+from youtube_vln_tpu.data import fixtures as F
+from youtube_vln_tpu.data.loader import Loader, _item_seed
+
+SEED = 321
+LR = 1e-3
+BS = 4           # global batch; accumulation 2 -> microbatch 2
+ACCUM = 2
+N_VIDEOS = 24    # -> 6 optimizer steps (drop_last packs of 4)
+GEOM = dict(max_instruction_length=32, max_path_length=4, max_num_boxes=5)
+SAMPLING = dict(min_path_length=3, min_captioned=2, max_captioned=4,
+                num_negatives=2)
+
+TINY_CFG = dict(
+    vocab_size=256, hidden_size=32, num_hidden_layers=4,
+    num_attention_heads=4, intermediate_size=64,
+    v_feature_size=2048, v_target_size=1601, v_hidden_size=48,
+    v_num_hidden_layers=2, v_num_attention_heads=4,
+    v_intermediate_size=48, bi_hidden_size=48, bi_num_attention_heads=4,
+    v_biattention_id=[0, 1], t_biattention_id=[2, 3],
+    max_position_embeddings=64,
+    hidden_dropout_prob=0.0, attention_probs_dropout_prob=0.0,
+    v_hidden_dropout_prob=0.0, v_attention_probs_dropout_prob=0.0)
+
+
+@pytest.fixture(scope="module")
+def env(tmp_path_factory):
+    root = tmp_path_factory.mktemp("pretrainloop")
+    data_dir = root / "data"
+    ytb = F.build_ytb_fixture(data_dir / "YouTube-VLN" / "ytb",
+                              n_videos=N_VIDEOS, seed=0)
+    paths = dict(ytb)
+    paths["root"] = str(root)
+    paths["data_dir"] = str(data_dir)
+    paths["ytb_lmdb"] = fake_lmdb.store_to_lmdb_pickle(
+        ytb["store_path"], root / "ytb_lmdb.pkl", pano=False)
+
+    cfg_path = root / "tiny_nodrop.json"
+    json.dump(TINY_CFG, open(cfg_path, "w"))
+    paths["nodrop_config"] = str(cfg_path)
+
+    # one shared random-init checkpoint in the reference .bin layout
+    from youtube_vln_tpu.config import LilyConfig
+    from youtube_vln_tpu.models import init_lily_params
+    from youtube_vln_tpu.models.torch_io import save_torch_checkpoint
+    cfg = LilyConfig(**{k: tuple(v) if isinstance(v, list) else v
+                        for k, v in TINY_CFG.items()},
+                     masked_vision=True, masked_language=True,
+                     fusion_dropout_prob=0.0, compute_dtype="float32",
+                     use_pallas_attention=False)
+    params = init_lily_params(jax.random.PRNGKey(11), cfg)
+    ckpt = root / "shared.bin"
+    save_torch_checkpoint(str(ckpt), params, cfg, extra={"epoch": 0})
+    paths["ckpt"] = str(ckpt)
+    paths["cfg"] = cfg
+    return paths
+
+
+def _align_rng(ds):
+    """Per-item RNG alignment for one of OUR datasets: reseed seeds the
+    python stream (matching the reference's global random.seed) and the
+    torch stream (consumed by the masking shims), and arms the
+    one-per-item burn of the reference's build_instructions choice draw
+    (all_dataset.py:182)."""
+    import torch
+
+    orig_gen = ds.generate_instruction
+
+    def reseed(self, s):
+        self.rng.seed(s)
+        torch.manual_seed(s)
+        self._burned = False
+
+    def gen(traj):
+        if not ds._burned:
+            ds.rng.choice([None])    # reference's 1-element random.choice
+            ds._burned = True
+        return orig_gen(traj)
+
+    ds.reseed = types.MethodType(reseed, ds)
+    ds.generate_instruction = gen
+
+
+def _install_masking_shims(monkeypatch):
+    """Back our dataset's masking hooks with the LIVE reference torch
+    functions (drawing from the torch global stream seeded per item)."""
+    import torch
+
+    ref_common = import_reference_common()
+
+    import youtube_vln_tpu.data.datasets as D
+
+    def regions_shim(features, probs, mask, rng, copy=True):
+        f = torch.from_numpy(np.ascontiguousarray(features, np.float32))
+        pr = torch.from_numpy(np.ascontiguousarray(probs, np.float32))
+        m = torch.from_numpy(np.ascontiguousarray(mask)).long()
+        f2, t, tm = ref_common.randomize_regions(f, pr, m)
+        return (f2.numpy().astype(features.dtype),
+                t.numpy().astype(probs.dtype),
+                tm.numpy().astype(mask.dtype))
+
+    class _VocabDuck:
+        def __init__(self, n, mask_id):
+            self.n, self.mask_id = n, mask_id
+
+        def __len__(self):
+            return self.n
+
+        def __getitem__(self, key):
+            assert key == "[MASK]", key
+            return self.mask_id
+
+    def tokens_shim(tokens, mask, vocab_size, mask_token_id, rng,
+                    mask_action_rate=0.0, action_token_ids=()):
+        duck = SimpleNamespace(vocab=_VocabDuck(vocab_size, mask_token_id))
+        args = SimpleNamespace(mask_action_rate=mask_action_rate)
+        t = torch.from_numpy(np.ascontiguousarray(tokens, np.int64))
+        m = torch.from_numpy(np.ascontiguousarray(mask, np.int64))
+        t2, tg = ref_common.randomize_tokens(t, m, duck, args)
+        return (t2.numpy().astype(tokens.dtype),
+                tg.numpy().astype(tokens.dtype))
+
+    monkeypatch.setattr(D, "randomize_regions_np", regions_shim)
+    monkeypatch.setattr(D, "randomize_tokens_np", tokens_shim)
+
+
+def _run_ours(env, monkeypatch):
+    from youtube_vln_tpu.config import RunConfig
+    from youtube_vln_tpu.models.torch_io import params_to_state_dict
+    from youtube_vln_tpu.training.engine import Engine
+
+    _install_masking_shims(monkeypatch)
+
+    args = RunConfig(
+        pretrain=True, pre_dataset="ytb", prefix="merge+",
+        ranking=True, masked_vision=True, masked_language=True,
+        batch_size=BS, gradient_accumulation_steps=ACCUM,
+        learning_rate=LR, num_epochs=1, warmup_proportion=0.2,
+        cooldown_factor=2.0, weight_decay=1e-2, seed=SEED,
+        num_workers=0, compute_dtype="float32", io_dtype="float32",
+        use_pallas_attention=False, sparse_vision_targets=False,
+        data_dir=env["data_dir"], ytb_feature=(env["store_path"],),
+        bert_tokenizer=env["vocab_path"], config_file=env["nodrop_config"],
+        from_pretrained=env["ckpt"], skeleton_path=env["skeleton_path"],
+        **GEOM, **SAMPLING)
+    engine = Engine(args, env["cfg"])
+    try:
+        steps = len(engine.train_loader)
+        engine.train_loader = Loader(engine.train_ds, BS, shuffle=False,
+                                     seed=SEED, num_workers=0,
+                                     drop_last=True)
+        assert len(engine.train_loader) == steps
+
+        _align_rng(engine.train_ds)
+        _align_rng(engine.test_ds)
+
+        rec = []
+        orig = engine._train_step
+
+        def wrapped(state, batch, rng):
+            state, m = orig(state, batch, rng)
+            rec.append(m)
+            return state, m
+
+        engine._train_step = wrapped
+        engine.train_epoch(0)
+        keys = ["loss/train", "loss/vision", "loss/language",
+                "loss/ranking"]
+        series = {k: [float(m[k]) for m in rec] for k in keys}
+        test_stats = engine.evaluate("test")
+        sd = params_to_state_dict(
+            jax.tree_util.tree_map(np.asarray, engine.state.params),
+            env["cfg"])
+        return series, test_stats, sd, steps
+    finally:
+        engine.close()
+
+
+def _run_reference(env, monkeypatch):
+    import torch
+
+    try:
+        import requests  # noqa: F401  (real module before conftest stubs)
+    except ImportError:
+        pass
+    from transformers import BertTokenizer
+
+    import_reference_vilbert()        # sys.path + boto3/requests stubs
+    fake_lmdb.install()
+    import collections
+    import inspect
+    if not hasattr(inspect, "ArgSpec"):
+        inspect.ArgSpec = collections.namedtuple(
+            "ArgSpec", "args varargs keywords defaults")
+    sys.modules.setdefault("pyfiglet", types.ModuleType("pyfiglet"))
+    sys.modules["pyfiglet"].figlet_format = lambda *a, **k: ""
+    if "argtyped" not in sys.modules:
+        argtyped = types.ModuleType("argtyped")
+
+        class _Arguments:
+            def __init_subclass__(cls, **kwargs):
+                pass
+
+        argtyped.Arguments = _Arguments
+        sys.modules["argtyped"] = argtyped
+    monkeypatch.chdir(env["root"])
+    monkeypatch.setattr(torch.Tensor, "cuda",
+                        lambda self, *a, **k: self, raising=True)
+
+    tokenizer = BertTokenizer(vocab_file=env["vocab_path"])
+    from utils.dataset.features_reader import YTbFeaturesReader
+    from utils.dataset.all_dataset import YTbDataset
+    reader = YTbFeaturesReader(env["ytb_lmdb"])
+
+    args = SimpleNamespace(
+        batch_size=BS, gradient_accumulation_steps=ACCUM, pretrain=True,
+        ranking=True, traj_judge=False, not_traj_judge_data=False,
+        masked_vision=True, masked_language=True,
+        negative_style="normal", out_listing=False, no_serial=False,
+        random_action=False, mask_action_rate=0.0,
+        skeleton_path=env["skeleton_path"],
+        num_workers=0, local_rank=-1, world_size=1,
+        skip_all_reduce=True, traj_loss_scale=1.0, **GEOM, **SAMPLING)
+
+    train_ds = YTbDataset(
+        testset_path={}, args=args, caption_path=env["caption_path"],
+        tokenizer=tokenizer, features_reader=reader,
+        masked_vision=True, masked_language=True, training=True,
+        separators=("[SEP]",))
+    test_ds = YTbDataset(
+        testset_path={"ranking": env["testset_path"]}, args=args,
+        caption_path=env["test_caption_path"], tokenizer=tokenizer,
+        features_reader=reader, masked_vision=False, masked_language=False,
+        training=False, separators=("[SEP]",))
+
+    class _Seeded(torch.utils.data.Dataset):
+        """Seed the global RNG streams (python/np/torch) per item with the
+        same seeds our Loader hands the dataset (loader._item_seed)."""
+
+        def __init__(self, ds):
+            self.ds = ds
+
+        def __len__(self):
+            return len(self.ds)
+
+        def __getitem__(self, i):
+            s = _item_seed(SEED, 0, int(i))
+            random.seed(s)
+            np.random.seed(s)
+            torch.manual_seed(s)
+            return self.ds[i]
+
+    from torch.utils.data import DataLoader
+    micro_bs = BS // ACCUM
+    train_loader = DataLoader(_Seeded(train_ds), shuffle=False,
+                              batch_size=micro_bs, num_workers=0,
+                              drop_last=True)
+    test_loader = DataLoader(_Seeded(test_ds), shuffle=False,
+                             batch_size=micro_bs, num_workers=0)
+
+    # reference Lily with the shared checkpoint, dropout fully off
+    ref = sys.modules["vilbert.vilbert"]
+    from lily import Lily
+    ref_cfg = ref.BertConfig(**{k: tuple(v) if isinstance(v, list) else v
+                                for k, v in TINY_CFG.items()})
+    ref_cfg.args = SimpleNamespace(model_name="vilbert", ranking=True,
+                                   traj_judge=False, masked_vision=True,
+                                   masked_language=True,
+                                   num_negatives=SAMPLING["num_negatives"])
+    model = Lily(ref_cfg)
+    payload = torch.load(env["ckpt"], map_location="cpu",
+                         weights_only=False)
+    missing, unexpected = model.load_state_dict(
+        payload["model_state_dict"], strict=False)
+    assert not missing and not unexpected, (missing[:4], unexpected[:4])
+    model.train()
+    model.dropout.p = 0.0  # Lily's fused-pool dropout is a literal 0.1
+
+    # optimizer + schedule: the same numbers our make_schedule derives
+    # (optimization.py:110-129; t_total counts OPTIMIZER steps)
+    from vilbert.optimization import AdamW, WarmupLinearSchedule
+    no_decay = ["bias", "LayerNorm.weight", "LayerNorm.bias"]
+    groups = [{"params": [], "weight_decay": 0.0},
+              {"params": [], "weight_decay": 1e-2}]
+    for name, param in model.named_parameters():
+        groups[0 if any(nd in name for nd in no_decay) else 1][
+            "params"].append(param)
+    opt = AdamW(groups, lr=LR)
+    t_total = float(len(train_loader) // ACCUM)
+    warmup = 0.2 * t_total
+    adjusted = warmup + 2.0 * (t_total - warmup)
+    sched = WarmupLinearSchedule(opt, warmup_steps=warmup, t_total=adjusted)
+
+    from utils.misc import NoneLogger
+    from utils.utils_init import train_epoch, test_epoch
+
+    class _Writer:
+        def __init__(self):
+            self.scalars = {}
+
+        def add_scalar(self, name, value, global_step=None):
+            self.scalars.setdefault(name, []).append(float(value))
+
+    w = _Writer()
+    log = NoneLogger()
+    train_epoch(0, model, opt, sched, train_loader, w, True, args, log)
+    keys = ["loss/train", "loss/vision", "loss/language", "loss/ranking"]
+    ref_series = {k: w.scalars[k] for k in keys}
+
+    with torch.no_grad():
+        stats = test_epoch(0, model, "test", test_loader, w, True, args, 0,
+                           log)
+    ranking = stats["ranking"].detach().numpy()
+    test_stats = {"loss/ranking": float(ranking[1]),
+                  "accuracy/ranking": float(ranking[2])}
+    sd = {k: v.detach().numpy() for k, v in model.state_dict().items()}
+    init_sd = {k: np.asarray(v) for k, v in
+               payload["model_state_dict"].items()}
+    return ref_series, test_stats, sd, init_sd
+
+
+def test_pretrain_loop_parity(env, monkeypatch):
+    our_series, our_test, our_sd, steps = _run_ours(env, monkeypatch)
+    ref_series, ref_test, ref_sd, init_sd = _run_reference(env, monkeypatch)
+
+    # 1. per-task loss trajectories: the reference logs one scalar per
+    # MICRObatch; ours logs one per OPTIMIZER step, averaged over the
+    # accumulation pack (train_step.py microbatch scan) — compare against
+    # the pairwise means.  All series must be finite (pretrain ranking
+    # targets are always 0; masked counts never hit zero at this size).
+    assert set(our_series) == set(ref_series)
+    assert steps >= 4                       # a real multi-step epoch
+    for k in our_series:
+        ours = np.asarray(our_series[k])
+        ref = np.asarray(ref_series[k])
+        assert len(ours) == steps and len(ref) == steps * ACCUM
+        assert not np.isnan(ref).any(), (k, ref)
+        assert ref.min() > 0.01, (k, ref)   # every task actually trains
+        ref_packed = ref.reshape(steps, ACCUM).mean(axis=1)
+        np.testing.assert_allclose(
+            ours, ref_packed, rtol=2e-3,
+            err_msg=f"{k}: ours={ours} ref={ref_packed}")
+
+    # 2. frozen-testset eval: identical success rate, matching loss
+    assert abs(our_test["accuracy/ranking"]
+               - ref_test["accuracy/ranking"]) < 1e-6, (our_test, ref_test)
+    np.testing.assert_allclose(our_test["loss/ranking"],
+                               ref_test["loss/ranking"], rtol=2e-3)
+
+    # 3. final parameters (see test_train_loop_parity for the tolerance
+    # rationale; the abs escape covers near-zero single-element tensors)
+    assert set(our_sd) == set(ref_sd)
+    for k in sorted(ref_sd):
+        a = np.asarray(our_sd[k], np.float32).ravel()
+        b = np.asarray(ref_sd[k], np.float32).ravel()
+        denom = max(float(np.linalg.norm(b)), 1e-6)
+        rel = float(np.linalg.norm(a - b)) / denom
+        absd = float(np.max(np.abs(a - b))) if a.size else 0.0
+        assert rel < 2e-2 or absd < 1e-4, (k, rel, absd)
+
+    # 4. the epoch actually trained: parameters moved from the shared init
+    moved = max(float(np.max(np.abs(np.asarray(ref_sd[k], np.float32)
+                                    - np.asarray(init_sd[k], np.float32))))
+                for k in ref_sd)
+    assert moved > 1e-4, moved
