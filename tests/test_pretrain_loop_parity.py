@@ -2,8 +2,10 @@
 driven LIVE against our Engine on the same YTb fixture, checkpoint, and
 per-item draws.
 
-Both stacks run ONE pretraining epoch (YouTube house tours: MLM + MVM +
-ranking, gradient accumulation 2) end to end:
+Both stacks run ONE pretraining epoch (MLM + MVM + ranking, gradient
+accumulation 2) end to end, parametrized over BOTH pretraining dataset
+families — YouTube house tours (template-rephrase instructions) and
+Airbnb listings (concatenate instructions, tokenized-caption cache):
 
   * reference: YTbDataset -> DataLoader -> ``utils_init.train_epoch``
     (torch Lily + AdamW + WarmupLinearSchedule, reference pretrain.py:113)
@@ -88,13 +90,18 @@ TINY_CFG = dict(
 def env(tmp_path_factory):
     root = tmp_path_factory.mktemp("pretrainloop")
     data_dir = root / "data"
-    ytb = F.build_ytb_fixture(data_dir / "YouTube-VLN" / "ytb",
-                              n_videos=N_VIDEOS, seed=0)
-    paths = dict(ytb)
+    paths = {
+        "ytb": dict(F.build_ytb_fixture(data_dir / "YouTube-VLN" / "ytb",
+                                        n_videos=N_VIDEOS, seed=0)),
+        "bnb": dict(F.build_bnb_fixture(data_dir / "YouTube-VLN" / "bnb",
+                                        n_listings=N_VIDEOS, seed=0)),
+    }
     paths["root"] = str(root)
     paths["data_dir"] = str(data_dir)
-    paths["ytb_lmdb"] = fake_lmdb.store_to_lmdb_pickle(
-        ytb["store_path"], root / "ytb_lmdb.pkl", pano=False)
+    for kind in ("ytb", "bnb"):
+        paths[kind]["lmdb"] = fake_lmdb.store_to_lmdb_pickle(
+            paths[kind]["store_path"], root / f"{kind}_lmdb.pkl",
+            pano=False)
 
     cfg_path = root / "tiny_nodrop.json"
     json.dump(TINY_CFG, open(cfg_path, "w"))
@@ -185,25 +192,34 @@ def _install_masking_shims(monkeypatch):
     monkeypatch.setattr(D, "randomize_tokens_np", tokens_shim)
 
 
-def _run_ours(env, monkeypatch):
+def _run_ours(env, kind, monkeypatch):
     from youtube_vln_tpu.config import RunConfig
     from youtube_vln_tpu.models.torch_io import params_to_state_dict
     from youtube_vln_tpu.training.engine import Engine
 
     _install_masking_shims(monkeypatch)
 
+    fx = env[kind]
+    # ytb: "merge+" file prefix + template-rephrase generator; bnb: no
+    # prefix, skeleton_path="" selects the Concatenate generator (the
+    # same recipe the frozen fixture testset was built with)
+    per_kind = (dict(pre_dataset="ytb", prefix="merge+",
+                     ytb_feature=(fx["store_path"],),
+                     skeleton_path=fx["skeleton_path"]) if kind == "ytb"
+                else dict(pre_dataset="bnb", prefix="",
+                          bnb_feature=(fx["store_path"],),
+                          skeleton_path=""))
     args = RunConfig(
-        pretrain=True, pre_dataset="ytb", prefix="merge+",
-        ranking=True, masked_vision=True, masked_language=True,
+        pretrain=True, ranking=True,
+        masked_vision=True, masked_language=True,
         batch_size=BS, gradient_accumulation_steps=ACCUM,
         learning_rate=LR, num_epochs=1, warmup_proportion=0.2,
         cooldown_factor=2.0, weight_decay=1e-2, seed=SEED,
         num_workers=0, compute_dtype="float32", io_dtype="float32",
         use_pallas_attention=False, sparse_vision_targets=False,
-        data_dir=env["data_dir"], ytb_feature=(env["store_path"],),
-        bert_tokenizer=env["vocab_path"], config_file=env["nodrop_config"],
-        from_pretrained=env["ckpt"], skeleton_path=env["skeleton_path"],
-        **GEOM, **SAMPLING)
+        data_dir=env["data_dir"],
+        bert_tokenizer=fx["vocab_path"], config_file=env["nodrop_config"],
+        from_pretrained=env["ckpt"], **per_kind, **GEOM, **SAMPLING)
     engine = Engine(args, env["cfg"])
     try:
         steps = len(engine.train_loader)
@@ -237,7 +253,7 @@ def _run_ours(env, monkeypatch):
         engine.close()
 
 
-def _run_reference(env, monkeypatch):
+def _run_reference(env, kind, monkeypatch):
     import torch
 
     try:
@@ -268,10 +284,21 @@ def _run_reference(env, monkeypatch):
     monkeypatch.setattr(torch.Tensor, "cuda",
                         lambda self, *a, **k: self, raising=True)
 
-    tokenizer = BertTokenizer(vocab_file=env["vocab_path"])
-    from utils.dataset.features_reader import YTbFeaturesReader
-    from utils.dataset.all_dataset import YTbDataset
-    reader = YTbFeaturesReader(env["ytb_lmdb"])
+    fx = env[kind]
+    tokenizer = BertTokenizer(vocab_file=fx["vocab_path"])
+    from utils.dataset.features_reader import (BnBFeaturesReader,
+                                               YTbFeaturesReader)
+    from utils.dataset.all_dataset import BnBDataset, YTbDataset
+    if kind == "ytb":
+        reader = YTbFeaturesReader(fx["lmdb"])
+        ds_cls, skeleton = YTbDataset, fx["skeleton_path"]
+    else:
+        reader = BnBFeaturesReader(fx["lmdb"])
+        ds_cls, skeleton = BnBDataset, ""
+        # force INDEPENDENT tokenization: our run cached
+        # bnb_*_tokenized_32.json next to the caption files
+        for p in Path(fx["caption_path"]).parent.glob("*_tokenized_*.json"):
+            p.unlink()
 
     args = SimpleNamespace(
         batch_size=BS, gradient_accumulation_steps=ACCUM, pretrain=True,
@@ -279,18 +306,18 @@ def _run_reference(env, monkeypatch):
         masked_vision=True, masked_language=True,
         negative_style="normal", out_listing=False, no_serial=False,
         random_action=False, mask_action_rate=0.0,
-        skeleton_path=env["skeleton_path"],
+        skeleton_path=skeleton,
         num_workers=0, local_rank=-1, world_size=1,
         skip_all_reduce=True, traj_loss_scale=1.0, **GEOM, **SAMPLING)
 
-    train_ds = YTbDataset(
-        testset_path={}, args=args, caption_path=env["caption_path"],
+    train_ds = ds_cls(
+        testset_path={}, args=args, caption_path=fx["caption_path"],
         tokenizer=tokenizer, features_reader=reader,
         masked_vision=True, masked_language=True, training=True,
         separators=("[SEP]",))
-    test_ds = YTbDataset(
-        testset_path={"ranking": env["testset_path"]}, args=args,
-        caption_path=env["test_caption_path"], tokenizer=tokenizer,
+    test_ds = ds_cls(
+        testset_path={"ranking": fx["testset_path"]}, args=args,
+        caption_path=fx["test_caption_path"], tokenizer=tokenizer,
         features_reader=reader, masked_vision=False, masked_language=False,
         training=False, separators=("[SEP]",))
 
@@ -380,9 +407,11 @@ def _run_reference(env, monkeypatch):
     return ref_series, test_stats, sd, init_sd
 
 
-def test_pretrain_loop_parity(env, monkeypatch):
-    our_series, our_test, our_sd, steps = _run_ours(env, monkeypatch)
-    ref_series, ref_test, ref_sd, init_sd = _run_reference(env, monkeypatch)
+@pytest.mark.parametrize("kind", ["ytb", "bnb"])
+def test_pretrain_loop_parity(env, monkeypatch, kind):
+    our_series, our_test, our_sd, steps = _run_ours(env, kind, monkeypatch)
+    (ref_series, ref_test, ref_sd,
+     init_sd) = _run_reference(env, kind, monkeypatch)
 
     # 1. per-task loss trajectories: the reference logs one scalar per
     # MICRObatch; ours logs one per OPTIMIZER step, averaged over the
