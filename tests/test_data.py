@@ -530,7 +530,11 @@ def test_beam_step_dedup_worker_pool(r2r_env):
         assert set(b0) == set(b2)
         for k in b0:
             np.testing.assert_array_equal(b0[k], b2[k], err_msg=k)
-    assert loaders[2].shm_fallbacks == 0
+    # pin the SLAB SIZING only: slot_timeout fallbacks are the documented
+    # imap slot-starvation degrade (fires under CPU contention, e.g. a
+    # loaded test box) and deliver identical data — the array_equal loop
+    # above already covers them
+    assert loaders[2].shm_fallbacks_by_reason.get("slab_overflow", 0) == 0
     reader.close()
 
 
@@ -887,8 +891,8 @@ def test_loader_shm_overflow_falls_back_loudly(caplog):
                          logger="youtube_vln_tpu.data.loader"):
         batches = list(loader)
     assert len(batches) == 7
-    assert loader.shm_fallbacks == 2
-    assert any("shared-memory" in r.message for r in caplog.records)
+    assert loader.shm_fallbacks_by_reason.get("slab_overflow", 0) == 2
+    assert any("slab_overflow" in r.message for r in caplog.records)
     # fallback items arrived intact
     assert batches[1]["instr_tokens"].shape == (1, 1, 100000)
     assert int(batches[3]["instr_tokens"][0, 0, 0]) == 3

@@ -109,11 +109,11 @@ def _fetch_shm(task):
     try:
         slot = _WORKER_FREE_Q.get(timeout=5.0)
     except queue.Empty:
-        return ("pickle", item)
+        return ("pickle", "slot_timeout", item)
     schema = _pack_into_slab(item, _WORKER_SLABS[slot])
     if schema is None:
         _WORKER_FREE_Q.put(slot)
-        return ("pickle", item)
+        return ("pickle", "slab_overflow", item)
     return ("shm", slot, schema)
 
 
@@ -248,10 +248,14 @@ class Loader:
         self.num_workers = num_workers
         self.use_shared_memory = use_shared_memory
         self.epoch = 0
-        # slab-overflow fallbacks (items too big for the shared-memory
-        # transport, silently pickled otherwise) — kept loud on purpose:
-        # each one is a ~40-90 MB pickle on the hot path
+        # pickle fallbacks off the shared-memory transport, kept loud on
+        # purpose (each is a ~40-90 MB pickle on the hot path) and COUNTED
+        # BY CAUSE: "slab_overflow" means the slab probe under-sized the
+        # slots (a sizing bug — tests pin this at zero), "slot_timeout" is
+        # the documented imap slot-starvation degrade (free-queue timeout
+        # under CPU contention; delivers identical data, just slower)
         self.shm_fallbacks = 0
+        self.shm_fallbacks_by_reason: Dict[str, int] = {}
 
     def set_epoch(self, epoch: int):
         self.epoch = epoch
@@ -364,16 +368,19 @@ class Loader:
                             buf.append(_unpack_from_slab(slabs[slot], schema))
                             used_slots.append(slot)
                         else:
+                            _, reason, item = res
                             self.shm_fallbacks += 1
+                            self.shm_fallbacks_by_reason[reason] = \
+                                self.shm_fallbacks_by_reason.get(reason,
+                                                                 0) + 1
                             if self.shm_fallbacks == 1:
                                 logging.getLogger(__name__).warning(
-                                    "loader item exceeded the shared-memory "
-                                    "slab (%d bytes); falling back to pickle "
-                                    "transport — this is a performance "
-                                    "cliff (loader.shm_fallbacks counts "
-                                    "occurrences)", slabs[0].size
-                                    if slabs else -1)
-                            buf.append(res[1])
+                                    "loader fell back to pickle transport "
+                                    "(%s; slab %d bytes) — a performance "
+                                    "cliff (loader.shm_fallbacks_by_reason "
+                                    "counts occurrences by cause)", reason,
+                                    slabs[0].size if slabs else -1)
+                            buf.append(item)
                         if len(buf) == self.batch_size:
                             yield collate(buf, self.nc, self.with_instr_id, self.nc_uniq)
                             buf = []
