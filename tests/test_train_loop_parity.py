@@ -1,11 +1,15 @@
 """Cross-stack fine-tune LOOP parity: the reference train.py epoch driven
 LIVE against our Engine on the same fixture, same checkpoint, same draws.
 
-Both stacks run ONE fine-tune epoch end to end, in two recipes: R2R beam
-re-ranking (the 30RS shape: ranking task + shuffled-visual free
-negatives) and the combined ranking+traj_judge recipe (same item
-assembly — all_dataset.py:593 keeps the judge DATA branch off when
-ranking is on — plus the scaled judge loss, utils_init.py:223):
+Both stacks run ONE fine-tune epoch end to end, in three recipes: R2R
+beam re-ranking (the 30RS shape: ranking task + shuffled-visual free
+negatives), the combined ranking+traj_judge recipe (same item assembly —
+all_dataset.py:593 keeps the judge DATA branch off when ranking is on —
+plus the scaled judge loss, utils_init.py:223), and judge-ONLY (the
+judge data branch live: positive + shuffle-type-1/2/3 negatives incl.
+other-scan step replacements and per-step heading-chain draws,
+all_dataset.py:790-877; shuffle_visual_features must be off per the XOR
+rule, and the reference skips validation when ranking is off):
 
   * reference: BeamDataset(Train=True) -> DataLoader ->
     ``utils_init.train_epoch`` (torch Lily + AdamW + WarmupLinearSchedule,
@@ -99,15 +103,19 @@ def env(tmp_path_factory):
     return paths
 
 
-def _run_ours(env, traj_judge=False):
+def _run_ours(env, recipe):
     import dataclasses
 
     from youtube_vln_tpu.config import RunConfig
     from youtube_vln_tpu.models.torch_io import params_to_state_dict
     from youtube_vln_tpu.training.engine import Engine
 
+    ranking, traj_judge = recipe != "judge-only", recipe != "ranking"
     args = RunConfig(
-        pretrain=False, ranking=True, shuffle_visual_features=True,
+        # judge-only fine-tune REQUIRES shuffle off (the XOR rule,
+        # utils_init.py:19) — its negatives come from the judge data
+        # branch (shuffle types 1-3, other-scan replacements)
+        pretrain=False, ranking=ranking, shuffle_visual_features=ranking,
         traj_judge=traj_judge, traj_loss_scale=TRAJ_SCALE,
         num_negatives=2, num_beams=4, num_beams_train=4,
         batch_size=BS, gradient_accumulation_steps=1,
@@ -118,7 +126,8 @@ def _run_ours(env, traj_judge=False):
         data_dir=env["data_dir"], img_feature=env["pano_store"],
         bert_tokenizer=env["vocab_path"], config_file=env["nodrop_config"],
         from_pretrained=env["ckpt"], **GEOM)
-    cfg = dataclasses.replace(env["cfg"], traj_judge=traj_judge)
+    cfg = dataclasses.replace(env["cfg"], ranking=ranking,
+                              traj_judge=traj_judge)
     engine = Engine(args, cfg)
     try:
         # shuffle-off loader with the SAME length (schedule t_total was
@@ -138,6 +147,35 @@ def _run_ours(env, traj_judge=False):
         engine.train_ds.reseed = types.MethodType(_reseed_mt,
                                                   engine.train_ds)
 
+        aliased_items = [0]
+        if recipe == "judge-only":
+            # Replicate the reference's shuffle-type-3 ALIASING BUG
+            # (all_dataset.py:849 shallow-copies path_features[0], so all
+            # candidates share the inner step lists and end up with
+            # IDENTICAL features — see MIGRATION.md).  Our production
+            # branch replaces steps per candidate; this shim rebuilds the
+            # reference's shared final state so the loop stays
+            # draw-for-draw and tensor-for-tensor comparable.
+            ds = engine.train_ds
+            orig_tj = ds._traj_judge_features
+
+            def tj_aliased(scan_id, heading, selected_paths, vln_index):
+                state = ds.rng.getstate()
+                shuffle_type = ds.rng.randint(1, 3)
+                ds.rng.setstate(state)       # rewind; orig re-draws it
+                out = orig_tj(scan_id, heading, selected_paths, vln_index)
+                if shuffle_type == 3:
+                    aliased_items[0] += 1
+                    shared = list(out[0])
+                    for neg in out[1:]:      # replacements in draw order
+                        for i, st in enumerate(neg):
+                            if st is not out[0][i]:
+                                shared[i] = st
+                    out = [list(shared) for _ in out]
+                return out
+
+            ds._traj_judge_features = tj_aliased
+
         rec = []
         orig = engine._train_step
 
@@ -148,10 +186,16 @@ def _run_ours(env, traj_judge=False):
 
         engine._train_step = wrapped
         engine.train_epoch(0)
-        keys = ["loss/train", "loss/ranking"] + (
-            ["loss/traj"] if traj_judge else [])
+        keys = (["loss/train"] + (["loss/ranking"] if ranking else [])
+                + (["loss/traj"] if traj_judge else []))
         series = {k: [float(m[k]) for m in rec] for k in keys}
-        val = {t: engine.evaluate(t) for t in ("val_seen", "val_unseen")}
+        # the reference runs validation only when args.ranking
+        # (train.py:137)
+        val = ({t: engine.evaluate(t) for t in ("val_seen", "val_unseen")}
+               if ranking else None)
+        if recipe == "judge-only":
+            # the shim must have fired or the aliasing parity is vacuous
+            assert aliased_items[0] > 0
         sd = params_to_state_dict(
             jax.tree_util.tree_map(np.asarray, engine.state.params), cfg)
         return series, val, sd, steps
@@ -159,8 +203,10 @@ def _run_ours(env, traj_judge=False):
         engine.close()
 
 
-def _run_reference(env, monkeypatch, traj_judge=False):
+def _run_reference(env, monkeypatch, recipe):
     import torch
+
+    ranking, traj_judge = recipe != "judge-only", recipe != "ranking"
 
     # real transformers/requests before the conftest stubs land
     try:
@@ -203,9 +249,9 @@ def _run_reference(env, monkeypatch, traj_judge=False):
     args = SimpleNamespace(
         batch_size=BS, gradient_accumulation_steps=1,
         num_beams=4, num_beams_train=4, pretrain=False,
-        ranking=True, traj_judge=traj_judge, not_traj_judge_data=False,
+        ranking=ranking, traj_judge=traj_judge, not_traj_judge_data=False,
         masked_vision=False, masked_language=False, num_negatives=2,
-        shuffle_visual_features=True, ground_truth_trajectory=False,
+        shuffle_visual_features=ranking, ground_truth_trajectory=False,
         random_testing=False, r2r_prefix="", beam_prefix="",
         num_workers=0, local_rank=-1, world_size=1,
         skip_all_reduce=True, traj_loss_scale=TRAJ_SCALE, **GEOM)
@@ -236,7 +282,7 @@ def _run_reference(env, monkeypatch, traj_judge=False):
         t: DataLoader(load_BeamDataset(t, args, tokenizer, reader, True,
                                        Train=False),
                       shuffle=False, batch_size=BS, num_workers=0)
-        for t in ("val_seen", "val_unseen")}
+        for t in ("val_seen", "val_unseen")} if ranking else {}
 
     # reference Lily with the shared checkpoint, dropout fully off
     ref = sys.modules["vilbert.vilbert"]
@@ -244,7 +290,7 @@ def _run_reference(env, monkeypatch, traj_judge=False):
     cfg_json = json.load(open(env["nodrop_config"]))
     ref_cfg = ref.BertConfig(**{k: tuple(v) if isinstance(v, list) else v
                                 for k, v in cfg_json.items()})
-    ref_cfg.args = SimpleNamespace(model_name="vilbert", ranking=True,
+    ref_cfg.args = SimpleNamespace(model_name="vilbert", ranking=ranking,
                                    traj_judge=traj_judge, masked_vision=False,
                                    masked_language=False, num_negatives=2)
     model = Lily(ref_cfg)
@@ -284,13 +330,13 @@ def _run_reference(env, monkeypatch, traj_judge=False):
     w = _Writer()
     log = NoneLogger()
     train_epoch(0, model, opt, sched, train_loader, w, True, args, log)
-    keys = ["loss/train", "loss/ranking"] + (
-        ["loss/traj"] if traj_judge else [])
+    keys = (["loss/train"] + (["loss/ranking"] if ranking else [])
+            + (["loss/traj"] if traj_judge else []))
     ref_series = {k: w.scalars[k] for k in keys}
 
     srs, vls = {}, {}
     with torch.no_grad():
-        for t in ("val_seen", "val_unseen"):
+        for t in val_loaders:
             sr = val_epoch(0, model, t, val_loaders[t], w, True, args, 0,
                            log, "ranking")
             srs[t] = float(sr)
@@ -301,12 +347,13 @@ def _run_reference(env, monkeypatch, traj_judge=False):
     return ref_series, srs, vls, sd, init_sd
 
 
-@pytest.mark.parametrize("traj_judge", [False, True],
-                         ids=["ranking", "ranking+judge"])
-def test_finetune_loop_parity(env, monkeypatch, traj_judge):
-    our_series, our_val, our_sd, steps = _run_ours(env, traj_judge)
+@pytest.mark.parametrize("recipe",
+                         ["ranking", "ranking+judge", "judge-only"])
+def test_finetune_loop_parity(env, monkeypatch, recipe):
+    ranking, traj_judge = recipe != "judge-only", recipe != "ranking"
+    our_series, our_val, our_sd, steps = _run_ours(env, recipe)
     (ref_series, ref_srs, ref_vls, ref_sd,
-     init_sd) = _run_reference(env, monkeypatch, traj_judge)
+     init_sd) = _run_reference(env, monkeypatch, recipe)
 
     # 1. same step count, same per-step per-task loss trajectories.
     # Documented deviation (MIGRATION.md): a batch whose every ranking
@@ -321,8 +368,10 @@ def test_finetune_loop_parity(env, monkeypatch, traj_judge):
     assert set(our_series) == set(ref_series)
     assert all(len(s) == steps for s in our_series.values())
     assert all(len(s) == steps for s in ref_series.values())
-    assert ref_series["loss/ranking"][0] > 0.05    # non-vacuous batches
-    nan_steps = np.isnan(np.asarray(ref_series["loss/ranking"]))
+    assert ref_series["loss/train"][0] > 0.05      # non-vacuous batches
+    # judge-only has no ranking CE, hence no NaN-able series
+    nan_steps = (np.isnan(np.asarray(ref_series["loss/ranking"]))
+                 if ranking else np.zeros(steps, bool))
     for k in our_series:
         ref_arr = np.asarray(ref_series[k])
         our_arr = np.asarray(our_series[k])
@@ -341,8 +390,9 @@ def test_finetune_loop_parity(env, monkeypatch, traj_judge):
             our_arr[~nan_steps], ref_arr[~nan_steps], rtol=2e-3,
             err_msg=f"{k}: ours={our_arr} ref={ref_arr}")
 
-    # 2. val_epoch: identical success rates, matching val losses
-    for t in ("val_seen", "val_unseen"):
+    # 2. val_epoch: identical success rates, matching val losses (the
+    # reference validates only when args.ranking — train.py:137)
+    for t in (("val_seen", "val_unseen") if ranking else ()):
         assert abs(our_val[t]["accuracy/ranking"] - ref_srs[t]) < 1e-6, \
             (t, our_val[t], ref_srs[t])
         np.testing.assert_allclose(our_val[t]["loss/ranking"], ref_vls[t],

@@ -980,7 +980,17 @@ class BeamDataset:
     def _traj_judge_features(self, scan_id, heading, selected_paths,
                              vln_index):
         """Training negatives for the pure judge task: 3 shuffle types
-        (reference all_dataset.py:790-879)."""
+        (reference all_dataset.py:790-879).
+
+        DOCUMENTED DEVIATION (MIGRATION.md): in shuffle type 3 the
+        reference's ``temp = path_features[0].copy()`` is a shallow copy,
+        so all candidates alias the same inner step lists and every
+        replacement mutates the positive too — after the loop ALL
+        candidates carry identical visual features while the judge
+        targets still mark only candidate 0 positive.  We replace steps
+        per candidate (the evident intent — ``steps = list(pos_steps)``
+        below copies the outer list).  The live loop-parity test
+        replicates the reference aliasing in a test-side shim."""
         pos = selected_paths[0][: self.args.max_path_length]
         pos_steps = self._path_features(scan_id, pos, heading)
         step_lists = [pos_steps]
