@@ -107,7 +107,12 @@ def main():
     # The remote compile helper occasionally returns transient 5xx errors
     # on the first (cold, ~150 s) compile; retry the warmup a few times so
     # a one-off hiccup doesn't void the whole capture.  donate_argnums
-    # makes a failed call's donated state unusable, so rebuild it.
+    # makes a failed call's donated state unusable, so rebuild it FROM
+    # SCRATCH: after a successful dispatch the original `params` buffers
+    # are deleted too (the state holds them by reference), so the rebuild
+    # must re-init on device — init is deterministic, not a reshuffle.
+    # `step` keeps its original `tx` closure; make_optimizer is pure, so
+    # the fresh state's opt_state layout matches (hence `_` for tx here).
     for attempt in range(3):
         try:
             for i in range(2):
@@ -122,8 +127,12 @@ def main():
                   f"({type(e).__name__}: {e}); retrying in 30 s",
                   file=sys.stderr)
             time.sleep(30)
-            state, tx, _ = ts.create_train_state(params, args,
-                                                 steps_per_epoch=1000)
+            params = init_lily_params(jax.random.PRNGKey(0), cfg)
+            if n_dev > 1:
+                params = shard_params(params,
+                                      param_shardings(mesh, params, cfg))
+            state, _, _ = ts.create_train_state(params, args,
+                                                steps_per_epoch=1000)
 
     # XLA's own FLOP count for the jitted step, to cross-check the
     # hand-derived FLOPS_PER_TRAJ model (VERDICT r2: MFU was self-graded).

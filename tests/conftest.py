@@ -61,6 +61,20 @@ def import_reference_vilbert():
     return ref_vilbert
 
 
+def prepare_reference_runtime():
+    """Everything the live loop-parity tests need before importing the
+    reference datasets + training utilities: the common-module stubs
+    plus an ``inspect.ArgSpec`` shim (removed in py3.11;
+    all_dataset.py:1 imports it).  Returns the reference common module."""
+    ref_common = import_reference_common()
+    import collections
+    import inspect
+    if not hasattr(inspect, "ArgSpec"):
+        inspect.ArgSpec = collections.namedtuple(
+            "ArgSpec", "args varargs keywords defaults")
+    return ref_common
+
+
 def import_reference_common():
     """Import the reference's utils.dataset.common (sampling, masking,
     instruction machinery) for parity checks.  Needs more stubbing than

@@ -59,8 +59,10 @@ import pytest
 
 import jax
 
-from conftest import import_reference_common, import_reference_vilbert
+from conftest import prepare_reference_runtime
 import fake_lmdb
+from loop_parity_common import (ScalarWriter, assert_final_params_close,
+                                assert_params_moved, reference_adamw)
 
 from youtube_vln_tpu.data import fixtures as F
 from youtube_vln_tpu.data.loader import Loader, _item_seed
@@ -154,7 +156,7 @@ def _install_masking_shims(monkeypatch):
     functions (drawing from the torch global stream seeded per item)."""
     import torch
 
-    ref_common = import_reference_common()
+    ref_common = prepare_reference_runtime()
 
     import youtube_vln_tpu.data.datasets as D
 
@@ -256,30 +258,9 @@ def _run_ours(env, kind, monkeypatch):
 def _run_reference(env, kind, monkeypatch):
     import torch
 
-    try:
-        import requests  # noqa: F401  (real module before conftest stubs)
-    except ImportError:
-        pass
+    prepare_reference_runtime()   # stubs + real requests + ArgSpec shim
     from transformers import BertTokenizer
 
-    import_reference_vilbert()        # sys.path + boto3/requests stubs
-    fake_lmdb.install()
-    import collections
-    import inspect
-    if not hasattr(inspect, "ArgSpec"):
-        inspect.ArgSpec = collections.namedtuple(
-            "ArgSpec", "args varargs keywords defaults")
-    sys.modules.setdefault("pyfiglet", types.ModuleType("pyfiglet"))
-    sys.modules["pyfiglet"].figlet_format = lambda *a, **k: ""
-    if "argtyped" not in sys.modules:
-        argtyped = types.ModuleType("argtyped")
-
-        class _Arguments:
-            def __init_subclass__(cls, **kwargs):
-                pass
-
-        argtyped.Arguments = _Arguments
-        sys.modules["argtyped"] = argtyped
     monkeypatch.chdir(env["root"])
     monkeypatch.setattr(torch.Tensor, "cuda",
                         lambda self, *a, **k: self, raising=True)
@@ -366,14 +347,8 @@ def _run_reference(env, kind, monkeypatch):
 
     # optimizer + schedule: the same numbers our make_schedule derives
     # (optimization.py:110-129; t_total counts OPTIMIZER steps)
-    from vilbert.optimization import AdamW, WarmupLinearSchedule
-    no_decay = ["bias", "LayerNorm.weight", "LayerNorm.bias"]
-    groups = [{"params": [], "weight_decay": 0.0},
-              {"params": [], "weight_decay": 1e-2}]
-    for name, param in model.named_parameters():
-        groups[0 if any(nd in name for nd in no_decay) else 1][
-            "params"].append(param)
-    opt = AdamW(groups, lr=LR)
+    from vilbert.optimization import WarmupLinearSchedule
+    opt = reference_adamw(model, LR)
     t_total = float(len(train_loader) // ACCUM)
     warmup = 0.2 * t_total
     adjusted = warmup + 2.0 * (t_total - warmup)
@@ -382,14 +357,7 @@ def _run_reference(env, kind, monkeypatch):
     from utils.misc import NoneLogger
     from utils.utils_init import train_epoch, test_epoch
 
-    class _Writer:
-        def __init__(self):
-            self.scalars = {}
-
-        def add_scalar(self, name, value, global_step=None):
-            self.scalars.setdefault(name, []).append(float(value))
-
-    w = _Writer()
+    w = ScalarWriter()
     log = NoneLogger()
     train_epoch(0, model, opt, sched, train_loader, w, True, args, log)
     keys = ["loss/train", "loss/vision", "loss/language", "loss/ranking"]
@@ -437,19 +405,8 @@ def test_pretrain_loop_parity(env, monkeypatch, kind):
     np.testing.assert_allclose(our_test["loss/ranking"],
                                ref_test["loss/ranking"], rtol=2e-3)
 
-    # 3. final parameters (see test_train_loop_parity for the tolerance
-    # rationale; the abs escape covers near-zero single-element tensors)
-    assert set(our_sd) == set(ref_sd)
-    for k in sorted(ref_sd):
-        a = np.asarray(our_sd[k], np.float32).ravel()
-        b = np.asarray(ref_sd[k], np.float32).ravel()
-        denom = max(float(np.linalg.norm(b)), 1e-6)
-        rel = float(np.linalg.norm(a - b)) / denom
-        absd = float(np.max(np.abs(a - b))) if a.size else 0.0
-        assert rel < 2e-2 or absd < 1e-4, (k, rel, absd)
+    # 3. final parameters (tolerance rationale: loop_parity_common)
+    assert_final_params_close(our_sd, ref_sd)
 
     # 4. the epoch actually trained: parameters moved from the shared init
-    moved = max(float(np.max(np.abs(np.asarray(ref_sd[k], np.float32)
-                                    - np.asarray(init_sd[k], np.float32))))
-                for k in ref_sd)
-    assert moved > 1e-4, moved
+    assert_params_moved(ref_sd, init_sd)

@@ -51,8 +51,10 @@ import pytest
 
 import jax
 
-from conftest import import_reference_vilbert
+from conftest import prepare_reference_runtime
 import fake_lmdb
+from loop_parity_common import (ScalarWriter, assert_final_params_close,
+                                assert_params_moved, reference_adamw)
 
 from youtube_vln_tpu.data import fixtures as F
 from youtube_vln_tpu.data.loader import Loader, _item_seed
@@ -208,31 +210,9 @@ def _run_reference(env, monkeypatch, recipe):
 
     ranking, traj_judge = recipe != "judge-only", recipe != "ranking"
 
-    # real transformers/requests before the conftest stubs land
-    try:
-        import requests  # noqa: F401
-    except ImportError:
-        pass
+    prepare_reference_runtime()   # stubs + real requests + ArgSpec shim
     from transformers import BertTokenizer
 
-    import_reference_vilbert()        # sys.path + boto3/requests stubs
-    fake_lmdb.install()
-    import collections
-    import inspect
-    if not hasattr(inspect, "ArgSpec"):
-        inspect.ArgSpec = collections.namedtuple(
-            "ArgSpec", "args varargs keywords defaults")
-    sys.modules.setdefault("pyfiglet", types.ModuleType("pyfiglet"))
-    sys.modules["pyfiglet"].figlet_format = lambda *a, **k: ""
-    if "argtyped" not in sys.modules:
-        argtyped = types.ModuleType("argtyped")
-
-        class _Arguments:
-            def __init_subclass__(cls, **kwargs):
-                pass
-
-        argtyped.Arguments = _Arguments
-        sys.modules["argtyped"] = argtyped
     monkeypatch.chdir(env["root"])
     monkeypatch.setattr(torch.Tensor, "cuda",
                         lambda self, *a, **k: self, raising=True)
@@ -304,14 +284,8 @@ def _run_reference(env, monkeypatch, recipe):
 
     # optimizer + schedule: the same numbers our make_schedule derives
     # (optimization.py:110-129) fed to the reference classes
-    from vilbert.optimization import AdamW, WarmupLinearSchedule
-    no_decay = ["bias", "LayerNorm.weight", "LayerNorm.bias"]
-    groups = [{"params": [], "weight_decay": 0.0},
-              {"params": [], "weight_decay": 1e-2}]
-    for name, param in model.named_parameters():
-        groups[0 if any(nd in name for nd in no_decay) else 1][
-            "params"].append(param)
-    opt = AdamW(groups, lr=LR)
+    from vilbert.optimization import WarmupLinearSchedule
+    opt = reference_adamw(model, LR)
     t_total = float(len(train_loader))         # 1 epoch
     warmup = 0.2 * t_total
     adjusted = warmup + 2.0 * (t_total - warmup)
@@ -320,14 +294,7 @@ def _run_reference(env, monkeypatch, recipe):
     from utils.misc import NoneLogger
     from utils.utils_init import train_epoch, val_epoch
 
-    class _Writer:
-        def __init__(self):
-            self.scalars = {}
-
-        def add_scalar(self, name, value, global_step=None):
-            self.scalars.setdefault(name, []).append(float(value))
-
-    w = _Writer()
+    w = ScalarWriter()
     log = NoneLogger()
     train_epoch(0, model, opt, sched, train_loader, w, True, args, log)
     keys = (["loss/train"] + (["loss/ranking"] if ranking else [])
@@ -398,28 +365,8 @@ def test_finetune_loop_parity(env, monkeypatch, recipe):
         np.testing.assert_allclose(our_val[t]["loss/ranking"], ref_vls[t],
                                    rtol=2e-3, err_msg=t)
 
-    # 3. final parameters: same key set, tensors aligned in direction.
-    # Per-element compare is brittle for near-zero-gradient elements
-    # (bias-corrected Adam's first update is ~sign(g), so an O(1e-7)
-    # cross-stack grad difference can flip single elements by 2*lr);
-    # rel-L2 per tensor pins the structure (a transposed import, a wrong
-    # decay group, or a schedule bug shows as O(0.1-1) divergence).
-    # Near-zero tensors get an absolute escape: vil_logit.bias starts at 0
-    # and its batch-summed gradient nearly cancels, so after 7 warmup
-    # steps BOTH stacks sit at ~1e-5 with rel-L2 dominated by float noise
-    # (measured: ours 2.3e-6 vs ref 8.9e-6).  1e-4 is a tenth of one
-    # full-lr Adam step — a structural bug moves tensors by O(lr*steps).
-    assert set(our_sd) == set(ref_sd)
-    for k in sorted(ref_sd):
-        a = np.asarray(our_sd[k], np.float32).ravel()
-        b = np.asarray(ref_sd[k], np.float32).ravel()
-        denom = max(float(np.linalg.norm(b)), 1e-6)
-        rel = float(np.linalg.norm(a - b)) / denom
-        absd = float(np.max(np.abs(a - b))) if a.size else 0.0
-        assert rel < 2e-2 or absd < 1e-4, (k, rel, absd)
+    # 3. final parameters (tolerance rationale: loop_parity_common)
+    assert_final_params_close(our_sd, ref_sd)
 
     # 4. the epoch actually trained: parameters moved from the shared init
-    moved = max(float(np.max(np.abs(np.asarray(ref_sd[k], np.float32)
-                                    - np.asarray(init_sd[k], np.float32))))
-                for k in ref_sd)
-    assert moved > 1e-4, moved
+    assert_params_moved(ref_sd, init_sd)

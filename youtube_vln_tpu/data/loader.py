@@ -373,7 +373,10 @@ class Loader:
                             self.shm_fallbacks_by_reason[reason] = \
                                 self.shm_fallbacks_by_reason.get(reason,
                                                                  0) + 1
-                            if self.shm_fallbacks == 1:
+                            # warn once PER CAUSE: a benign slot_timeout
+                            # must not swallow a later slab_overflow (the
+                            # sizing bug this split exists to expose)
+                            if self.shm_fallbacks_by_reason[reason] == 1:
                                 logging.getLogger(__name__).warning(
                                     "loader fell back to pickle transport "
                                     "(%s; slab %d bytes) — a performance "
