@@ -3,9 +3,18 @@ driven LIVE against our Engine on the same YTb fixture, checkpoint, and
 per-item draws.
 
 Both stacks run ONE pretraining epoch (MLM + MVM + ranking, gradient
-accumulation 2) end to end, parametrized over BOTH pretraining dataset
+accumulation 2) end to end, parametrized over both pretraining dataset
 families — YouTube house tours (template-rephrase instructions) and
-Airbnb listings (concatenate instructions, tokenized-caption cache):
+Airbnb listings (concatenate instructions, tokenized-caption cache) —
+plus the negative_style="shuffle_instruction" recipe (image-negatives
+become instruction-side, common.py:524-541).
+
+Alignment caveat: the reference's ``random_fill`` mutates its fillers
+list IN PLACE across an item's negatives while ours passes a fresh copy
+(the documented memoryless-shuffle deviation) — the two only produce
+bit-identical items when per-path captionless filler sets are too small
+for cumulative shuffling to reorder them, which holds at this fixture's
+geometry (the test would fail loudly, not silently, if that changed).
 
   * reference: YTbDataset -> DataLoader -> ``utils_init.train_epoch``
     (torch Lily + AdamW + WarmupLinearSchedule, reference pretrain.py:113)
@@ -104,6 +113,31 @@ def env(tmp_path_factory):
         paths[kind]["lmdb"] = fake_lmdb.store_to_lmdb_pickle(
             paths[kind]["store_path"], root / f"{kind}_lmdb.pkl",
             pano=False)
+
+    # the shuffle_instruction kind reuses the ytb fixture but needs its
+    # own frozen testset at the style-prefixed path (dataset_init.py:
+    # get_testset_path prepends the negative_style)
+    from youtube_vln_tpu.data.datasets import YTbDataset as OurYTb
+    from youtube_vln_tpu.data.features_reader import \
+        YTbFeaturesReader as OurYTbReader
+    from youtube_vln_tpu.data.tokenizer import WordPieceTokenizer
+    si = dict(paths["ytb"])
+    si_args = F._default_args(skeleton_path=si["skeleton_path"],
+                              negative_style="shuffle_instruction")
+    si_reader = OurYTbReader(si["store_path"])
+    si_ds = OurYTb(args=si_args, caption_path=si["caption_path"],
+                   tokenizer=WordPieceTokenizer.from_vocab_file(
+                       si["vocab_path"]),
+                   features_reader=si_reader, masked_vision=False,
+                   masked_language=False, training=True, seed=0)
+    si_testset = {vid: list(si_ds.pick_photo_ids(vid))
+                  for vid in si_ds.listing_ids}
+    si_reader.close()
+    si_testset_path = (data_dir / "YouTube-VLN" / "ytb"
+                       / "merge+shuffle_instruction_testset.json")
+    json.dump(si_testset, open(si_testset_path, "w"))
+    si["testset_path"] = str(si_testset_path)
+    paths["ytb-shufinstr"] = si
 
     cfg_path = root / "tiny_nodrop.json"
     json.dump(TINY_CFG, open(cfg_path, "w"))
@@ -204,13 +238,18 @@ def _run_ours(env, kind, monkeypatch):
     fx = env[kind]
     # ytb: "merge+" file prefix + template-rephrase generator; bnb: no
     # prefix, skeleton_path="" selects the Concatenate generator (the
-    # same recipe the frozen fixture testset was built with)
-    per_kind = (dict(pre_dataset="ytb", prefix="merge+",
-                     ytb_feature=(fx["store_path"],),
-                     skeleton_path=fx["skeleton_path"]) if kind == "ytb"
-                else dict(pre_dataset="bnb", prefix="",
-                          bnb_feature=(fx["store_path"],),
-                          skeleton_path=""))
+    # same recipe the frozen fixture testset was built with);
+    # ytb-shufinstr: ytb files + negative_style=shuffle_instruction
+    # (image-negatives become instruction-side, common.py:524-541)
+    if kind == "bnb":
+        per_kind = dict(pre_dataset="bnb", prefix="",
+                        bnb_feature=(fx["store_path"],), skeleton_path="")
+    else:
+        per_kind = dict(pre_dataset="ytb", prefix="merge+",
+                        ytb_feature=(fx["store_path"],),
+                        skeleton_path=fx["skeleton_path"])
+        if kind == "ytb-shufinstr":
+            per_kind["negative_style"] = "shuffle_instruction"
     args = RunConfig(
         pretrain=True, ranking=True,
         masked_vision=True, masked_language=True,
@@ -270,22 +309,24 @@ def _run_reference(env, kind, monkeypatch):
     from utils.dataset.features_reader import (BnBFeaturesReader,
                                                YTbFeaturesReader)
     from utils.dataset.all_dataset import BnBDataset, YTbDataset
-    if kind == "ytb":
-        reader = YTbFeaturesReader(fx["lmdb"])
-        ds_cls, skeleton = YTbDataset, fx["skeleton_path"]
-    else:
+    if kind == "bnb":
         reader = BnBFeaturesReader(fx["lmdb"])
         ds_cls, skeleton = BnBDataset, ""
         # force INDEPENDENT tokenization: our run cached
         # bnb_*_tokenized_32.json next to the caption files
         for p in Path(fx["caption_path"]).parent.glob("*_tokenized_*.json"):
             p.unlink()
+    else:
+        reader = YTbFeaturesReader(fx["lmdb"])
+        ds_cls, skeleton = YTbDataset, fx["skeleton_path"]
 
     args = SimpleNamespace(
         batch_size=BS, gradient_accumulation_steps=ACCUM, pretrain=True,
         ranking=True, traj_judge=False, not_traj_judge_data=False,
         masked_vision=True, masked_language=True,
-        negative_style="normal", out_listing=False, no_serial=False,
+        negative_style=("shuffle_instruction" if kind == "ytb-shufinstr"
+                        else "normal"),
+        out_listing=False, no_serial=False,
         random_action=False, mask_action_rate=0.0,
         skeleton_path=skeleton,
         num_workers=0, local_rank=-1, world_size=1,
@@ -375,7 +416,7 @@ def _run_reference(env, kind, monkeypatch):
     return ref_series, test_stats, sd, init_sd
 
 
-@pytest.mark.parametrize("kind", ["ytb", "bnb"])
+@pytest.mark.parametrize("kind", ["ytb", "bnb", "ytb-shufinstr"])
 def test_pretrain_loop_parity(env, monkeypatch, kind):
     our_series, our_test, our_sd, steps = _run_ours(env, kind, monkeypatch)
     (ref_series, ref_test, ref_sd,
