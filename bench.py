@@ -32,7 +32,25 @@ V5E_PEAK_FLOPS = 197e12
 
 
 def main():
+    # Backend-init watchdog: the axon tunnel can be down for hours at a
+    # time (observed r4), and jax.devices() then blocks indefinitely
+    # inside backend init — fail loudly instead of hanging the driver.
+    # No JSON is emitted on this path on purpose: a fabricated metric is
+    # worse than a visible infrastructure failure.
+    import os
+    import signal
+
+    def _abort(signum, frame):
+        print("# bench: backend init exceeded 900 s (axon tunnel down?); "
+              "aborting without a metric", file=sys.stderr, flush=True)
+        os._exit(3)
+
+    signal.signal(signal.SIGALRM, _abort)
+    signal.alarm(900)
+
     import jax
+    jax.devices()          # force backend init under the watchdog
+    signal.alarm(0)
 
     from youtube_vln_tpu.config import lily_base_config, RunConfig
     from youtube_vln_tpu.models import init_lily_params
