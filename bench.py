@@ -100,16 +100,25 @@ def main():
     }
     batch["image_locations"][..., 11] = np.repeat(np.arange(8), 101)[None, None, :]
 
-    params = init_lily_params(jax.random.PRNGKey(0), cfg)
     if n_dev > 1:
-        # shard the batch over the data axis; params replicate; XLA inserts
-        # the gradient all-reduce over ICI
         from youtube_vln_tpu.parallel.mesh import (make_mesh,
                                                    param_shardings,
                                                    shard_params)
         mesh = make_mesh((n_dev, 1))
-        params = shard_params(params, param_shardings(mesh, params, cfg))
-    state, tx, _ = ts.create_train_state(params, args, steps_per_epoch=1000)
+
+    def fresh_state():
+        """(state, tx) built from scratch — deterministic init, so the
+        warmup-retry rebuild measures the SAME computation as the primary
+        construction (a donated state is unusable after a failed call)."""
+        params = init_lily_params(jax.random.PRNGKey(0), cfg)
+        if n_dev > 1:
+            # shard the batch over the data axis; params replicate; XLA
+            # inserts the gradient all-reduce over ICI
+            params = shard_params(params,
+                                  param_shardings(mesh, params, cfg))
+        return ts.create_train_state(params, args, steps_per_epoch=1000)
+
+    state, tx, _ = fresh_state()
     step = jax.jit(ts.build_train_step(cfg, args, tx), donate_argnums=(0,))
 
     if n_dev > 1:
@@ -145,12 +154,7 @@ def main():
                   f"({type(e).__name__}: {e}); retrying in 30 s",
                   file=sys.stderr)
             time.sleep(30)
-            params = init_lily_params(jax.random.PRNGKey(0), cfg)
-            if n_dev > 1:
-                params = shard_params(params,
-                                      param_shardings(mesh, params, cfg))
-            state, _, _ = ts.create_train_state(params, args,
-                                                steps_per_epoch=1000)
+            state, _, _ = fresh_state()
 
     # XLA's own FLOP count for the jitted step, to cross-check the
     # hand-derived FLOPS_PER_TRAJ model (VERDICT r2: MFU was self-graded).

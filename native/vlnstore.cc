@@ -6,6 +6,7 @@
 // Replaces the role of the LMDB C library in the reference stack
 // (reference utils/dataset/features_reader.py:16-66).
 
+#include <algorithm>
 #include <cmath>
 #include <cstdint>
 #include <cstring>
@@ -51,6 +52,17 @@ struct Handle {
                                                // live in [32, body_end)
   std::vector<std::string> keys;               // insertion order
   std::unordered_map<std::string, uint64_t> offsets;
+  std::vector<uint64_t> sorted_offs;           // record starts, ascending
+
+  // Tightest provable end for the record starting at `off`: the next
+  // record's start (records are laid out back to back), else the index
+  // start.  Bounding extents by body_end alone lets a moderately corrupt
+  // num_boxes silently serve the NEXT record's bytes as this record's
+  // features.
+  uint64_t record_end(uint64_t off) const {
+    auto it = std::upper_bound(sorted_offs.begin(), sorted_offs.end(), off);
+    return it == sorted_offs.end() ? body_end : *it;
+  }
 };
 
 }  // namespace
@@ -87,6 +99,17 @@ void* vlnstore_open(const char* path) {
   h->body_end = hdr.index_offset;
   const uint8_t* p = h->data + hdr.index_offset;
   const uint8_t* end = h->data + h->size;
+  // Each index entry occupies >= 10 bytes (u16 klen + key + u64 offset), so
+  // an n_records the index region cannot hold is provably corrupt.  Check
+  // BEFORE reserve(): a garbage 64-bit count would make reserve throw
+  // std::length_error/bad_alloc through the extern "C" boundary
+  // (std::terminate) instead of declining like every other corruption path.
+  if (hdr.n_records > (h->size - hdr.index_offset) / 10) {
+    ::munmap(map, st.st_size);
+    ::close(fd);
+    delete h;
+    return nullptr;
+  }
   h->keys.reserve(hdr.n_records);
   h->offsets.reserve(hdr.n_records);
   bool ok = true;
@@ -104,14 +127,22 @@ void* vlnstore_open(const char* path) {
     // a record offset must land its header inside the body region
     // [sizeof(Header), index_offset) or every later pointer derived from
     // it is out of bounds — fail the whole open rather than hand out a
-    // half-index that segfaults at pack time
+    // half-index that segfaults at pack time.  Subtraction form: the
+    // addition `off + sizeof(RecHeader)` wraps for offsets near
+    // UINT64_MAX and would pass the check.
     if (off < sizeof(Header) ||
-        off + sizeof(RecHeader) > hdr.index_offset) {
+        hdr.index_offset < sizeof(RecHeader) ||
+        off > hdr.index_offset - sizeof(RecHeader)) {
       ok = false;
       break;
     }
     h->keys.push_back(key);
     h->offsets.emplace(std::move(key), off);
+  }
+  if (ok) {
+    h->sorted_offs.reserve(h->offsets.size());
+    for (const auto& kv : h->offsets) h->sorted_offs.push_back(kv.second);
+    std::sort(h->sorted_offs.begin(), h->sorted_offs.end());
   }
   if (!ok) {
     ::munmap(map, st.st_size);
@@ -192,7 +223,7 @@ bool view_record(const Handle* h, const char* key, RecView* out) {
   // a corrupt num_boxes would derive feature/box/prob pointers past the
   // record region and turn the pack memcpys into an OOB read
   if (it->second + sizeof(rh) + region_body_bytes(rh.num_boxes) >
-      h->body_end)
+      h->record_end(it->second))
     return false;
   p += sizeof(rh);
   out->k = rh.num_boxes;
@@ -460,7 +491,7 @@ int pack_pano_block(const Handle* h, const char* key, double hd, double nh,
   // a corrupt num_boxes must fail here, not OOB-read in the copy loop
   if (it->second + sizeof(rh) + region_body_bytes(rh.num_boxes) +
           (uint64_t)(72 + 3 * (uint64_t)rh.num_boxes) * sizeof(float) >
-      h->body_end)
+      h->record_end(it->second))
     return -1;
   p += sizeof(rh);
   const uint32_t k = rh.num_boxes;

@@ -108,6 +108,91 @@ def test_native_pack_rejects_corrupt_num_boxes(tmp_path):
     stp.close()
 
 
+def test_store_rejects_wrapping_offset_and_corrupt_n_records(tmp_path):
+    """Two open-time hardening regressions: a record offset near
+    UINT64_MAX must not pass the native bounds check via unsigned wrap
+    (the addition form `off + sizeof(RecHeader)` wrapped to a small
+    value), and a garbage n_records must make the native open DECLINE
+    (nullptr) instead of throwing std::length_error through the C ABI
+    (std::terminate kills the training process)."""
+    import struct
+    from youtube_vln_tpu.data.store import _HEADER
+
+    path = tmp_path / "s.vlnstore"
+    F.write_store(path, ["a", "b"], k_boxes=2, seed=7)
+    native = get_native()
+
+    raw = bytearray(path.read_bytes())
+    (index_offset,) = struct.unpack_from("<Q", raw, _HEADER.size - 8)
+    klen = struct.unpack_from("<H", raw, index_offset)[0]
+    struct.pack_into("<Q", raw, index_offset + 2 + klen, 2 ** 64 - 8)
+    wrap = tmp_path / "wrap.vlnstore"
+    wrap.write_bytes(bytes(raw))
+    with pytest.raises(ValueError, match="outside body region"):
+        Store(wrap)
+    if native is not None:
+        assert not native.vlnstore_open(str(wrap).encode())
+
+    raw = bytearray(path.read_bytes())
+    struct.pack_into("<Q", raw, _HEADER.size - 16, 2 ** 60)  # n_records
+    nrec = tmp_path / "nrec.vlnstore"
+    nrec.write_bytes(bytes(raw))
+    if native is not None:
+        assert not native.vlnstore_open(str(nrec).encode())
+    with pytest.raises((ValueError, struct.error)):  # python: loud
+        Store(nrec)
+
+
+def test_readers_reject_extent_into_neighbor_record(tmp_path):
+    """A moderately corrupt num_boxes whose derived extent stays inside
+    the FILE — crossing into the NEXT record's bytes — must make both
+    readers decline loudly, not silently serve the neighbor's bytes as
+    this record's features.  Record extents are bounded by the next
+    record's start (the tightest provable end), not just by the index
+    start."""
+    import struct
+    from youtube_vln_tpu.data.store import _HEADER
+
+    path = tmp_path / "x.vlnstore"
+    F.write_store(path, ["a", "b", "c"], k_boxes=2, seed=8)
+    raw = bytearray(path.read_bytes())
+    # record 0 ("a"): K 2 -> 3.  One extra box = 4*(2048+4+1601) = 14612 B,
+    # record "b" is 29256 B, so the corrupt extent ends INSIDE record "b" —
+    # the silent-corruption geometry a whole-body bound cannot see.
+    struct.pack_into("<I", raw, _HEADER.size, 3)
+    bad = tmp_path / "badext.vlnstore"
+    bad.write_bytes(bytes(raw))
+
+    st = Store(bad)
+    with pytest.raises(ValueError, match="extends past its record region"):
+        st.get("a")
+    if get_native() is not None and st._handle:
+        assert st.pack_path([("a",)], max_steps=1, max_boxes=8) is None
+    rec = st.get("b")  # intact neighbors still read fine
+    assert rec.features.shape == (2, 2048)
+    st.close()
+
+
+def test_multi_shard_warning_names_missing_native_lib(tmp_path, caplog,
+                                                      monkeypatch):
+    """When libvlnstore.so is not built, the cross-shard warning must NOT
+    send the operator on a pointless merge_stores run — the fast path is
+    missing because of the library, not the shard layout."""
+    import logging
+    from youtube_vln_tpu.data import store as store_mod
+
+    p1, p2 = tmp_path / "s1.vlnstore", tmp_path / "s2.vlnstore"
+    F.write_store(p1, ["a"], k_boxes=2, seed=1)
+    F.write_store(p2, ["b"], k_boxes=2, seed=2)
+    reader = YTbFeaturesReader([p1, p2])
+    monkeypatch.setattr(store_mod, "get_native", lambda: None)
+    with caplog.at_level(logging.WARNING):
+        reader._warn_multi_shard()
+    assert "make -C native" in caplog.text
+    assert "merge_stores" not in caplog.text
+    reader.close()
+
+
 def test_merge_stores_last_shard_wins_and_restores_native_path(tmp_path,
                                                                caplog):
     """scripts/merge_stores collapses a sharded layout (11x convert_lmdb of

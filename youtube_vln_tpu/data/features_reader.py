@@ -53,7 +53,16 @@ class FeaturesReader:
     def __init__(self, path: Union[PathLike, Sequence[PathLike]]):
         if isinstance(path, (str, Path)):
             path = [path]
-        self._stores = [Store(p) for p in path]
+        self._stores = []
+        try:
+            # open one by one — a corrupt later shard must not leak the
+            # mmaps/fds/native handles of the shards already opened
+            for p in path:
+                self._stores.append(Store(p))
+        except Exception:
+            for s in self._stores:
+                s.close()
+            raise
         self._by_key: Dict[str, int] = {}
         for i, s in enumerate(self._stores):
             for k in s.keys:
@@ -83,12 +92,22 @@ class FeaturesReader:
         the shards offline with scripts/merge_stores.py."""
         if not self._warned_multi_shard:
             self._warned_multi_shard = True
-            logger.warning(
-                "a feature path spans %d store shards: the native path "
-                "packer is disabled for such items (Python fallback, ~3x "
-                "slower item assembly) — merge the shards once with "
-                "scripts/merge_stores.py to restore the fast path",
-                len(self._stores))
+            from .store import get_native
+            if get_native() is None:
+                # merging shards would NOT restore the fast path here — the
+                # shared library itself is missing; say so instead of
+                # sending the operator on a pointless merge
+                logger.warning(
+                    "native store library (libvlnstore.so) is not built: "
+                    "item assembly uses the ~3x slower Python path — run "
+                    "`make -C native` to enable the C packers")
+            else:
+                logger.warning(
+                    "a feature path spans %d store shards: the native path "
+                    "packer is disabled for such items (Python fallback, "
+                    "~3x slower item assembly) — merge the shards once "
+                    "with scripts/merge_stores.py to restore the fast "
+                    "path", len(self._stores))
 
     def close(self):
         for s in self._stores:

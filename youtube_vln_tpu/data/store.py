@@ -24,6 +24,7 @@ optional ``lmdb`` package, absent in this image — gated).
 """
 from __future__ import annotations
 
+import bisect
 import ctypes
 import mmap
 import struct
@@ -215,8 +216,23 @@ def get_native():
     return _NATIVE
 
 
-def _parse_record(buf, offset: int) -> StoreRecord:
+def _parse_record(buf, offset: int,
+                  extent_limit: Optional[int] = None) -> StoreRecord:
     k, w, h, rflags = _REC_HEADER.unpack_from(buf, offset)
+    if extent_limit is not None:
+        # full-extent check BEFORE any frombuffer: a corrupt num_boxes whose
+        # derived extent stays inside the file would otherwise silently
+        # serve neighbor-record or index bytes as f32 features (the native
+        # reader declines such records; the fallback must be loud, not
+        # quieter).  extent_limit is the next record's start — the tightest
+        # provable end, records being laid out back to back.
+        n_floats = k * (FEAT_DIM + BOX_DIM + PROB_DIM)
+        if rflags & FLAG_PANO:
+            n_floats += 2 * N_VIEWS + 3 * k
+        if offset + _REC_HEADER.size + 4 * n_floats > extent_limit:
+            raise ValueError(
+                f"corrupt store record at offset {offset}: num_boxes={k} "
+                f"extends past its record region end {extent_limit}")
     p = offset + _REC_HEADER.size
 
     def take(shape):
@@ -253,6 +269,7 @@ class Store:
             raise ValueError(f"not a VLN store: {path}")
         if version != VERSION:
             raise ValueError(f"unsupported store version {version}")
+        self._body_end = index_offset  # record bodies end where the index starts
         self._native = get_native()
         self._handle = None
         self._offsets: Dict[str, int] = {}
@@ -288,6 +305,7 @@ class Store:
                 raise ValueError(
                     f"corrupt store {path}: expected {n_records} records, "
                     f"index has {len(self._offsets)}")
+            self._sorted_offs = sorted(set(self._offsets.values()))
         except Exception:
             self.close()  # don't leak the mmap/fd/native handle
             raise
@@ -306,7 +324,10 @@ class Store:
         off = self._offsets.get(key)
         if off is None:
             raise KeyError(key)
-        return _parse_record(self._mm, off)
+        i = bisect.bisect_right(self._sorted_offs, off)
+        end = self._sorted_offs[i] if i < len(self._sorted_offs) \
+            else self._body_end
+        return _parse_record(self._mm, off, extent_limit=end)
 
     @staticmethod
     def _marshal_step_keys(step_keys):
@@ -495,8 +516,12 @@ def merge_stores(paths: Sequence[Union[str, Path]],
     assembly for any path spanning shards.  Merge once offline, read one
     store forever.  Returns the merged record count."""
     winner: Dict[str, int] = {}
-    stores = [Store(p) for p in paths]
+    stores: List[Store] = []
     try:
+        # open inside the try — a corrupt later shard must not leak the
+        # mmaps/fds/native handles of the shards already opened
+        for p in paths:
+            stores.append(Store(p))
         for i, s in enumerate(stores):
             for k in s.keys:
                 winner[k] = i
