@@ -314,6 +314,25 @@ def test_wordpiece_subwords():
         ["play", "##ing", "play", "##s", "play"]
 
 
+def test_tokenizer_matches_hf_on_cjk_and_brackets(tmp_path):
+    """Parity vs the REAL HF BertTokenizer on the two divergence-prone
+    inputs: CJK ideographs (HF space-isolates each codepoint before
+    wordpiece) and bracketed non-special vocab entries like [unused0]
+    (HF never-splits ONLY the five special tokens)."""
+    transformers = pytest.importorskip("transformers")
+
+    vocab = ["[PAD]", "[UNK]", "[CLS]", "[SEP]", "[MASK]", "[unused0]",
+             "walk", "left", "[", "]", "unused", "##0", "走", "into",
+             "the", "##ft"]
+    p = tmp_path / "vocab.txt"
+    p.write_text("\n".join(vocab) + "\n", encoding="utf-8")
+    hf = transformers.BertTokenizer(str(p), do_lower_case=True)
+    ours = WordPieceTokenizer.from_vocab_file(p)
+    for text in ("走left walk", "press [unused0] now", "走走 into the",
+                 "[MASK] walk [SEP]", "walk [ unused ] le走ft"):
+        assert ours.tokenize(text) == hf.tokenize(text), text
+
+
 # --------------------------------------------------------------------------- #
 # sampling
 # --------------------------------------------------------------------------- #
@@ -981,6 +1000,123 @@ def test_loader_shm_overflow_falls_back_loudly(caplog):
     # fallback items arrived intact
     assert batches[1]["instr_tokens"].shape == (1, 1, 100000)
     assert int(batches[3]["instr_tokens"][0, 0, 0]) == 3
+
+
+def test_loader_slab_probe_cached_across_epochs():
+    """The slab-sizing probes assemble full items in the PARENT process;
+    they must run once per Loader, not once per epoch (item geometry is
+    epoch-independent), or every epoch start stalls for ~4 item times."""
+
+    class CountingDataset:
+        def __init__(self):
+            self.parent_calls = 0
+
+        def __len__(self):
+            return 8
+
+        def num_candidates(self):
+            return 1
+
+        def __getitem__(self, i):
+            self.parent_calls += 1   # fork-isolated: workers don't add here
+            return dict(ranking_target=np.asarray(0, np.int32),
+                        instr_tokens=np.full((1, 4), i, np.int32),
+                        opt_mask=np.ones(1, bool))
+
+    ds = CountingDataset()
+    loader = Loader(ds, batch_size=2, shuffle=False, num_workers=2,
+                    use_shared_memory=True)
+    assert len(list(loader)) == 4
+    probed = ds.parent_calls
+    assert probed == 4          # probes at {0, 2, 5, 7}, parent-side only
+    loader.set_epoch(1)
+    assert len(list(loader)) == 4
+    assert ds.parent_calls == probed   # no re-probe on the next epoch
+
+
+def test_beam_eval_batch_size_one_scores_all_ranked_paths(tmp_path):
+    """batch_size==1 skips the reference's per-item tile/trim
+    (all_dataset.py:782), so eval items keep ALL ranked paths even when
+    there are more than num_beams; the static collate must size to the
+    dataset-wide max and mask the shorter items' padding via opt_mask.
+    Regression: num_candidates() used to return num_beams here, making
+    collate crash with 'could not broadcast' on the first oversized item."""
+    import json
+
+    from youtube_vln_tpu.data.tokenizer import load_tokenizer
+
+    env = F.build_r2r_fixture(tmp_path, n_beams=6)
+    beam_path = f"{env['data_dir']}/beamsearch/beams_val_unseen.json"
+    with open(beam_path) as fh:
+        beams = json.load(fh)
+    # one item gets an EXTRA ranked path so item candidate counts differ
+    beams[0]["ranked_paths"].append(beams[0]["ranked_paths"][0])
+    with open(beam_path, "w") as fh:
+        json.dump(beams, fh)
+
+    tok = load_tokenizer(env["vocab_path"])
+    reader = PanoFeaturesReader(env["store_path"])
+    args = _beam_args(batch_size=1, num_beams=4)
+    ds = BeamDataset(
+        args, f"{env['data_dir']}/task/R2R_val_unseen.json", beam_path,
+        tok, reader, num_beams=args.num_beams, num_beams_strict=False,
+        training=False, masked_vision=False, masked_language=False,
+        shuffle_visual_features=False, data_dir=env["data_dir"], seed=0)
+    assert ds.batch_size == 1
+    assert ds.num_candidates() == 7    # dataset max, not num_beams
+    assert ds[0]["ranking_target"].shape[0] == 7
+    assert ds[1]["ranking_target"].shape[0] == 6
+
+    loader = Loader(ds, batch_size=1, shuffle=False, drop_last=False)
+    batches = list(loader)
+    assert batches[0]["image_features"].shape[:2] == (1, 7)
+    assert int(batches[0]["opt_mask"].sum()) == 7
+    assert batches[1]["image_features"].shape[:2] == (1, 7)
+    assert int(batches[1]["opt_mask"].sum()) == 6   # pad row masked
+    reader.close()
+
+
+def test_engine_subset_delegates_dataset_hooks():
+    """--mini/--debug wrap datasets in Subset; the loader's optional hooks
+    (reseed for per-item determinism, num_candidates for collate sizing)
+    must pass through — a Subset that swallowed reseed would make forked
+    pool workers replay their fork-time RNG state."""
+    from youtube_vln_tpu.training.engine import Subset
+
+    class DS:
+        def __init__(self):
+            self.seeded = []
+
+        def __len__(self):
+            return 4
+
+        def __getitem__(self, i):
+            return i
+
+        def reseed(self, s):
+            self.seeded.append(s)
+
+        def num_candidates(self):
+            return 3
+
+    inner = DS()
+    sub = Subset(inner, [2, 3])
+    assert hasattr(sub, "reseed")          # loader.py gates on this
+    sub.reseed(7)
+    assert inner.seeded == [7]
+    assert sub.num_candidates() == 3
+    assert len(sub) == 2 and sub[0] == 2
+
+    class Bare:
+        def __len__(self):
+            return 1
+
+        def __getitem__(self, i):
+            return i
+
+    bare = Subset(Bare(), [0])
+    assert not hasattr(bare, "reseed")     # mirrors the wrapped dataset
+    assert getattr(bare, "num_unique_candidates", lambda: None)() is None
 
 
 def test_io_dtype_halves_feature_bytes(ytb_env):

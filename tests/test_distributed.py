@@ -149,9 +149,53 @@ WORKER = textwrap.dedent("""
         out_shardings=repl)(state.params)
     params_fingerprint = float(psum)
 
+    # ---- engine multi-host batch composition (training/engine.py
+    # _multihost_put): per-host loader batches must CONCATENATE into the
+    # global step batch along the data axis — a plain device_put with a
+    # global NamedSharding would reinterpret each host's LOCAL rows as
+    # the GLOBAL batch and silently drop half of every loaded batch ----
+    from types import SimpleNamespace
+    from youtube_vln_tpu.training.engine import Engine
+    from youtube_vln_tpu.parallel.mesh import make_mesh
+
+    emesh = make_mesh(None, ("data", "model"))  # (4,1): data spans procs
+    to_host = jax.jit(lambda x: x,
+                      out_shardings=NamedSharding(emesh, P()))
+    put1 = Engine._multihost_put(SimpleNamespace(mesh=emesh), 1)
+    local_rows = {"rows": np.arange(2, dtype=np.float32).reshape(2, 1)
+                  + 100.0 * int(pid)}
+    merged = np.asarray(to_host(put1(local_rows)["rows"]))
+    merged_rows = [float(v) for v in merged[:, 0]]
+
+    # non-divisible eval tail: 3 local rows wrap-pad to the 2-device
+    # local extent (DistributedSampler-style duplicate)
+    tail = {"rows": np.arange(3, dtype=np.float32).reshape(3, 1)
+            + 100.0 * int(pid)}
+    gtail = put1(tail)["rows"]
+    tail_rows = [float(v) for v in np.asarray(to_host(gtail))[:, 0]]
+
+    # grad-accum layout: axis 0 microbatch (replicated), axis 1 sharded
+    put2 = Engine._multihost_put(SimpleNamespace(mesh=emesh), 2)
+    g2 = put2({"x": np.zeros((2, 2, 1), np.float32)})["x"]
+    accum_shape = list(g2.shape)
+
+    # a mesh whose data coordinates span processes must be REFUSED (two
+    # hosts would feed conflicting rows to one batch position)
+    bad_mesh = Mesh(np.asarray(jax.devices()).reshape(2, 2).T,
+                    ("data", "model"))
+    try:
+        Engine._multihost_put(SimpleNamespace(mesh=bad_mesh), 1)
+        bad_mesh_raises = False
+    except ValueError:
+        bad_mesh_raises = True
+
     out = {
         "train_loss": train_loss,
         "params_fingerprint": params_fingerprint,
+        "merged_rows": merged_rows,
+        "tail_rows": tail_rows,
+        "accum_shape": accum_shape,
+        "bad_mesh_raises": bad_mesh_raises,
         "pid": int(pid),
         "process_count": jax.process_count(),
         "shard": sorted(int(i) for i in shard),
@@ -398,3 +442,15 @@ def test_two_process_rendezvous_and_sharding(tmp_path):
     assert np.isfinite(results[0]["train_loss"])
     assert (results[0]["params_fingerprint"]
             == results[1]["params_fingerprint"])
+
+    # engine _multihost_put: the global batch is the CONCATENATION of both
+    # hosts' loader batches (host 0 rows then host 1 rows on this mesh) —
+    # the regression it pins is device_put dropping (world-1)/world of
+    # every loaded batch
+    for r in results:
+        assert r["merged_rows"] == [0.0, 1.0, 100.0, 101.0]
+        # 3-row eval tail wrap-pads per host: [0,1,2,0] ++ [100,101,102,100]
+        assert r["tail_rows"] == [0.0, 1.0, 2.0, 0.0,
+                                  100.0, 101.0, 102.0, 100.0]
+        assert r["accum_shape"] == [2, 4, 1]   # microbatch axis replicated
+        assert r["bad_mesh_raises"]

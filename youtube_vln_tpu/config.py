@@ -257,7 +257,9 @@ class RunConfig:
     note: str = ""
     # TPU-only
     mesh_shape: Tuple[int, ...] = ()      # () -> all devices on one data axis
-    mesh_axes: Tuple[str, ...] = ("data",)
+    mesh_axes: Tuple[str, ...] = ("data", "model")  # names for mesh_shape
+    # dims, in order (engine.py builds the mesh from these; 'data' must be
+    # the process-spanning axis in multi-host runs, see _multihost_put)
     compute_dtype: str = "bfloat16"
     io_dtype: str = "float16"   # host->device dtype for features/targets;
                                 # halves pipe/H2D traffic, model upcasts

@@ -647,12 +647,22 @@ class BeamDataset:
             if self.shuffle_visual or self.traj_judge_only:
                 n += self.args.num_negatives
             return n
-        if self.batch_size == 1 and self.num_beams <= 1:
-            # test.py mode: all ranked paths are scored, no tiling
-            # (reference test.py:46-49, all_dataset.py:749-754)
-            return self.max_beam_count()
-        return self.num_beams + (self.args.num_negatives + 1
-                                 if self.shuffle_visual else 0)
+        if self.batch_size == 1:
+            # the reference skips the per-item tile/trim entirely at batch
+            # size 1 (all_dataset.py:782) and torch's default collate takes
+            # whatever candidate count the item has — ALL ranked paths are
+            # scored (test.py mode sets num_beams=1, test.py:46, making
+            # this also the test.py all-paths path; the same holds for a
+            # val split evaluated at batch_size 1 when an item carries
+            # more than num_beams ranked paths, since num_beams_strict is
+            # always False, dataset_init.py:85).  Our static collate pads
+            # every item to the dataset-wide max and masks the padding
+            # via opt_mask.
+            n = self.max_beam_count()
+        else:
+            n = self.num_beams
+        return n + (self.args.num_negatives + 1
+                    if self.shuffle_visual else 0)
 
     def max_beam_count(self) -> int:
         return max(len(item["ranked_paths"]) for item in self.beam_data)

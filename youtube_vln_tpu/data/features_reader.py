@@ -85,6 +85,30 @@ class FeaturesReader:
             raise KeyError(f"invalid key: {key}")
         return self._stores[idx].get(key)
 
+    def _single_shard(self, keys, *, skip_falsy=False, default=None):
+        """Index of the one store shard holding every key, for the native
+        packers (one packed path = one C call against one mmap).  Accepts
+        flat key sequences or nested tuples-of-keys; ``skip_falsy`` treats
+        empty keys as padding steps (pack_pano_steps).  Returns ``default``
+        when no real keys were seen, and None — after a one-time warning —
+        when the keys span shards (callers decline to the Python path).
+        Raises KeyError on unknown keys, like ``_record``."""
+        first = None
+        for entry in keys:
+            sub = entry if isinstance(entry, (tuple, list)) else (entry,)
+            for k in sub:
+                if skip_falsy and not k:
+                    continue
+                idx = self._by_key.get(k)
+                if idx is None:
+                    raise KeyError(f"invalid key: {k}")
+                if first is None:
+                    first = idx
+                elif idx != first:
+                    self._warn_multi_shard()
+                    return None
+        return default if first is None else first
+
     def _warn_multi_shard(self):
         """One-time loud note when a path spans store shards: the native C
         packer declines (one packed path = one C call against one mmap)
@@ -154,20 +178,6 @@ class RegionFeaturesReader(FeaturesReader):
         if first is None:
             return None  # spans shards (or empty): python fallback
         return self._stores[first].pack_path(step_keys, max_steps, max_boxes)
-
-    def _single_shard(self, step_keys):
-        first = None
-        for keys in step_keys:
-            for k in keys:
-                idx = self._by_key.get(k)
-                if idx is None:
-                    raise KeyError(f"invalid key: {k}")
-                if first is None:
-                    first = idx
-                elif idx != first:
-                    self._warn_multi_shard()
-                    return None
-        return first
 
     def pack_path_f16(self, step_keys, max_steps: int, max_boxes: int):
         """Dedup-transport fast path: f16 features (the H2D dtype,
@@ -244,16 +254,7 @@ class PanoFeaturesReader(FeaturesReader):
         """Native fast path for a whole R2R candidate path (one C call per
         path instead of per-step reads + numpy pad/concat); None -> caller
         uses the Python path."""
-        first = None
-        for k in keys:
-            idx = self._by_key.get(k)
-            if idx is None:
-                raise KeyError(f"invalid key: {k}")
-            if first is None:
-                first = idx
-            elif idx != first:
-                self._warn_multi_shard()
-                return None
+        first = self._single_shard(keys)
         if first is None:
             return None
         return self._stores[first].pack_pano_path(
@@ -265,18 +266,8 @@ class PanoFeaturesReader(FeaturesReader):
         (store.py:pack_pano_steps_f16) — None/empty keys emit the
         empty-step block; all real keys must live in one shard (returns
         None otherwise, like pack_pano_path).  f16 features, no probs."""
-        first = None
-        for k in keys:
-            if not k:
-                continue
-            idx = self._by_key.get(k)
-            if idx is None:
-                raise KeyError(f"invalid key: {k}")
-            if first is None:
-                first = idx
-            elif idx != first:
-                self._warn_multi_shard()
-                return None
-        store = self._stores[first if first is not None else 0]
-        return store.pack_pano_steps_f16(keys, headings, next_headings,
-                                         steps, max_boxes, out=out)
+        first = self._single_shard(keys, skip_falsy=True, default=0)
+        if first is None:
+            return None
+        return self._stores[first].pack_pano_steps_f16(
+            keys, headings, next_headings, steps, max_boxes, out=out)

@@ -256,6 +256,7 @@ class Loader:
         # under CPU contention; delivers identical data, just slower)
         self.shm_fallbacks = 0
         self.shm_fallbacks_by_reason: Dict[str, int] = {}
+        self._slab_bytes: Optional[int] = None  # probe once, not per epoch
 
     def set_epoch(self, epoch: int):
         self.epoch = epoch
@@ -342,12 +343,20 @@ class Loader:
             # headroom cannot cover (every larger item would take the
             # loud pickle-fallback cliff).  _get_item reseeds per item,
             # so probing does not disturb worker determinism.
-            n = len(tasks)
-            probe_idx = sorted({0, n // 3, (2 * n) // 3, n - 1})
-            slab_bytes = 4096 + int(1.25 * max(
-                sum(np.asarray(v).nbytes for v in
-                    _get_item(*tasks[i]).values())
-                for i in probe_idx))
+            if self._slab_bytes is None:
+                # item geometry is epoch-independent (shapes are static or
+                # bucketed), so probe once per Loader: each probe assembles
+                # a full item in the parent (29-555 ms at flagship
+                # geometry) — re-probing every epoch would stall each
+                # epoch start for ~4 item times.  The 25% headroom plus the
+                # loud pickle fallback covers any residual spread.
+                n = len(tasks)
+                probe_idx = sorted({0, n // 3, (2 * n) // 3, n - 1})
+                self._slab_bytes = 4096 + int(1.25 * max(
+                    sum(np.asarray(v).nbytes for v in
+                        _get_item(*tasks[i]).values())
+                    for i in probe_idx))
+            slab_bytes = self._slab_bytes
             n_slots = self.num_workers + self.batch_size + 2
             free_q = ctx.Queue()
             for i in range(n_slots):
@@ -415,21 +424,24 @@ class Loader:
             _WORKER_FREE_Q = None
 
 
-def device_prefetch(iterator, shardings=None, depth: int = 2):
+def device_prefetch(iterator, shardings=None, depth: int = 2, put=None):
     """Move batches to device ahead of consumption so H2D overlaps compute
     (the reference's pin_memory + non_blocking equivalent,
     utils_init.py:201-204).
 
     ``shardings`` may be a pytree matching the batch, or a callable
     batch -> pytree-or-None (per-batch decisions, e.g. skipping the final
-    non-divisible eval batch)."""
+    non-divisible eval batch).  ``put`` overrides the transfer entirely
+    (multi-host engines pass host_local_array_to_global_array there —
+    ``shardings`` is then ignored)."""
     import jax
 
-    def put(batch):
-        s = shardings(batch) if callable(shardings) else shardings
-        if s is None:
-            return jax.device_put(batch)
-        return jax.tree_util.tree_map(jax.device_put, batch, s)
+    if put is None:
+        def put(batch):
+            s = shardings(batch) if callable(shardings) else shardings
+            if s is None:
+                return jax.device_put(batch)
+            return jax.tree_util.tree_map(jax.device_put, batch, s)
 
     import collections
     buf = collections.deque()

@@ -42,6 +42,15 @@ def _is_control(ch: str) -> bool:
     return unicodedata.category(ch).startswith("C")
 
 
+def _is_cjk(cp: int) -> bool:
+    """HF BasicTokenizer._is_chinese_char ranges (CJK ideographs only —
+    not Hangul/Katakana, which segment by spaces/wordpiece instead)."""
+    return ((0x4E00 <= cp <= 0x9FFF) or (0x3400 <= cp <= 0x4DBF)
+            or (0x20000 <= cp <= 0x2A6DF) or (0x2A700 <= cp <= 0x2B73F)
+            or (0x2B740 <= cp <= 0x2B81F) or (0x2B820 <= cp <= 0x2CEAF)
+            or (0xF900 <= cp <= 0xFAFF) or (0x2F800 <= cp <= 0x2FA1F))
+
+
 class WordPieceTokenizer:
     """HF-compatible uncased basic + WordPiece tokenization."""
 
@@ -52,10 +61,11 @@ class WordPieceTokenizer:
         self.do_lower_case = do_lower_case
         self._max_chars = max_chars_per_word
         self.unk_token = "[UNK]"
-        # bracketed vocab entries ([MASK], [SEP], [unused7], ...) are atomic,
-        # matching HF's never_split handling of special tokens
-        self._special = {t for t in vocab
-                         if t.startswith("[") and t.endswith("]")}
+        # HF never-splits ONLY the five special tokens — other bracketed
+        # vocab entries ([unused0]...) split like ordinary text
+        # ('[', 'unused', '##0', ']'), so treating them as atomic would
+        # diverge from the reference tokenizer on any text containing one
+        self._special = {t for t in SPECIAL_TOKENS if t in vocab}
 
     # ------------------------------------------------------------------ #
     @classmethod
@@ -80,6 +90,12 @@ class WordPieceTokenizer:
 
     def _basic_tokenize(self, text: str) -> List[str]:
         text = self._clean(text)
+        if any(_is_cjk(ord(ch)) for ch in text):
+            # HF space-isolates every CJK ideograph before splitting, so
+            # a CJK run glued to latin text ('走left') tokenizes to
+            # ['走', 'left'], not one [UNK] word
+            text = "".join(f" {ch} " if _is_cjk(ord(ch)) else ch
+                           for ch in text)
         if self.do_lower_case:
             text = text.lower()
             text = "".join(ch for ch in unicodedata.normalize("NFD", text)

@@ -83,11 +83,29 @@ def _rebuild_tensor_v2(storage: _StorageRef, storage_offset, size, stride,
                        requires_grad=False, backward_hooks=None,
                        metadata=None) -> np.ndarray:
     del requires_grad, backward_hooks, metadata
-    flat = storage.data()[storage_offset:]
+    # as_strided trusts its arguments completely, so a corrupt/crafted
+    # checkpoint declaring extents past the storage would silently read
+    # out-of-bounds heap memory (or segfault) — bound-check the furthest
+    # element the view can touch first, the same extent discipline the
+    # native store readers apply
+    size = tuple(int(d) for d in size)
+    stride = tuple(int(s) for s in stride)
+    offset = int(storage_offset)
+    if (offset < 0 or len(size) != len(stride)
+            or any(d < 0 for d in size) or any(s < 0 for s in stride)):
+        raise ValueError(
+            f"corrupt tensor metadata: offset {offset}, size {size}, "
+            f"stride {stride}")
+    if all(d > 0 for d in size):
+        last = offset + sum(s * (d - 1) for s, d in zip(stride, size))
+        if last >= storage.numel:
+            raise ValueError(
+                f"tensor view reaches element {last} of a "
+                f"{storage.numel}-element storage — corrupt checkpoint")
+    flat = storage.data()[offset:]
     itemsize = storage.dtype.itemsize
     strided = np.lib.stride_tricks.as_strided(
-        flat, shape=tuple(size),
-        strides=tuple(s * itemsize for s in stride))
+        flat, shape=size, strides=tuple(s * itemsize for s in stride))
     return strided.copy()  # contiguous + owns data (0-d shape preserved)
 
 
@@ -171,17 +189,39 @@ def _load_zip(path: str) -> Any:
         return up.load()
 
 
+class _PlainUnpickler(pickle.Unpickler):
+    """For the legacy header/key pickles (magic, protocol, sys-info, the
+    storage-key list): primitives and containers only.  These sections run
+    BEFORE the magic check can reject a non-checkpoint file, so they must
+    never resolve a global or persistent id — a crafted 'checkpoint' whose
+    first pickle reduces to a callable would otherwise execute on load,
+    defeating the module's weights_only hygiene."""
+
+    def find_class(self, module, name):
+        raise pickle.UnpicklingError(
+            f"torch_serialization: legacy header pickle references global "
+            f"'{module}.{name}' — not a torch legacy checkpoint")
+
+    def persistent_load(self, pid):
+        raise pickle.UnpicklingError(
+            "unexpected persistent id in a legacy header pickle")
+
+
+def _plain_load(f) -> Any:
+    return _PlainUnpickler(f, encoding="utf-8").load()
+
+
 def _load_legacy(path: str) -> Any:
     with open(path, "rb") as f:
-        magic = pickle.load(f)
+        magic = _plain_load(f)
         if magic != MAGIC_NUMBER:
             raise ValueError(f"{path}: not a torch legacy checkpoint "
                              f"(magic {magic!r})")
-        protocol = pickle.load(f)
+        protocol = _plain_load(f)
         if protocol != PROTOCOL_VERSION:
             raise ValueError(f"{path}: unsupported legacy protocol "
                              f"{protocol}")
-        _sys_info = pickle.load(f)
+        _sys_info = _plain_load(f)
 
         # Storage payloads live AFTER the object pickle, so this takes two
         # passes: pass 1 unpickles with an all-zeros storage loader purely
@@ -199,7 +239,7 @@ def _load_legacy(path: str) -> Any:
         # element count in torch-1.x files; cross-check against the
         # persistent-id numel so either convention reads correctly.
         storages_raw: Dict[str, bytes] = {}
-        keys: List[str] = pickle.load(f)
+        keys: List[str] = _plain_load(f)
         for key in keys:
             ref = up1._storages[str(key)]
             (count,) = struct.unpack("<q", f.read(8))

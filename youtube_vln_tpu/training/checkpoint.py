@@ -104,7 +104,8 @@ def resolve_pretrained(path_or_url) -> Tuple[str, Optional[str]]:
     path = str(path_or_url)
     if "://" in path:
         from ..utils.file_cache import cached_path
-        resolved = cached_path(path)
+        # cached_path returns a Path; the suffix checks below need str
+        resolved = os.fspath(cached_path(path))
         logger.info("loading archive file %s from cache at %s", path,
                     resolved)
     else:

@@ -48,12 +48,16 @@ class Subset:
     def __getitem__(self, i):
         return self.dataset[self.indices[i]]
 
-    def num_candidates(self):
-        return self.dataset.num_candidates()
-
-    def num_unique_candidates(self):
-        fn = getattr(self.dataset, "num_unique_candidates", None)
-        return fn() if fn else None
+    def __getattr__(self, name):
+        # delegate the optional dataset hooks (reseed, num_candidates,
+        # num_unique_candidates, ...) so --mini/--debug subsets keep the
+        # loader's per-item deterministic seeding: loader.py gates on
+        # hasattr(ds, "reseed"), and a Subset that swallowed it would make
+        # forked pool workers replay their fork-time RNG state (identical
+        # negatives/templates across workers, data varying by worker count)
+        if name.startswith("__") or name in ("dataset", "indices"):
+            raise AttributeError(name)
+        return getattr(self.dataset, name)
 
 
 def _maybe_subset(dataset, size, seed=0):
@@ -168,8 +172,8 @@ class Engine:
         self.log = run_logger or logger
         self.writer = None
 
-        axes = ("data", "model")
-        self.mesh = make_mesh(tuple(args.mesh_shape) or None, axes)
+        self.mesh = make_mesh(tuple(args.mesh_shape) or None,
+                              tuple(args.mesh_axes))
         self.tokenizer = resolve_tokenizer(args)
 
         # datasets ------------------------------------------------------- #
@@ -197,7 +201,12 @@ class Engine:
                     self.val_unseen_ds = _maybe_subset(self.val_unseen_ds, 4)
 
         accum = args.gradient_accumulation_steps
-        self.step_batch = max(1, args.batch_size // accum)
+        # reference semantics (dataset_init.py:204-208): args.batch_size is
+        # the GLOBAL batch; each host loads batch // accum // world rows and
+        # the per-host batches concatenate into the global step batch
+        # (_multihost_put)
+        self.step_batch = max(1, args.batch_size // accum
+                              // jax.process_count())
         self.train_loader = Loader(self.train_ds, self.step_batch * accum
                                    if accum > 1 else self.step_batch,
                                    shuffle=True, seed=args.seed,
@@ -287,7 +296,6 @@ class Engine:
                                    donate_argnums=(0,))
         self._eval_step = jax.jit(ts.build_eval_step(model_cfg, args))
         self.rng = jax.random.PRNGKey(args.seed)
-        self.batch_shardings = None
 
     # -------------------------------------------------------------------- #
     def _device_batches(self, loader, accum=1):
@@ -296,8 +304,75 @@ class Engine:
                 if accum > 1:
                     batch = microbatch_reshape(batch, accum)
                 yield batch
+        put = (self._multihost_put(accum)
+               if jax.process_count() > 1 else None)
         return device_prefetch(gen(), shardings=self._batch_shardings(accum),
-                               depth=self.args.host_prefetch)
+                               depth=self.args.host_prefetch, put=put)
+
+    def _multihost_put(self, accum: int):
+        """Turn per-host loader batches into GLOBAL arrays.
+
+        Every process loads a DIFFERENT dataset shard (Loader
+        num_shards=process_count), so a plain ``device_put`` with a global
+        NamedSharding would interpret each host's LOCAL rows as the whole
+        GLOBAL batch: every host's devices keep only their slice of their
+        own batch and (world-1)/world of each loaded batch is silently
+        dropped.  ``host_local_array_to_global_array`` instead concatenates
+        the host batches along the data axis — the reference's
+        DistributedSampler + per-world batch division (dataset_init.py:
+        204-208).  A trailing eval batch that does not divide the local
+        data-axis extent is wrap-padded, the way DistributedSampler pads
+        the epoch tail by wrapping (duplicates flow through val metrics on
+        both stacks)."""
+        from jax.experimental import multihost_utils
+
+        from ..parallel.train_step import (make_accum_batch_shardings,
+                                           make_batch_shardings)
+
+        mesh = self.mesh
+        lead_axis = 1 if accum > 1 else 0
+        # per-host concatenation is only well-defined when each data-axis
+        # coordinate lives on exactly one process and every process owns a
+        # slice (otherwise two processes would feed conflicting rows to the
+        # model-parallel shards of one batch row)
+        dev = np.asarray(mesh.devices)
+        data_dim = mesh.axis_names.index("data")
+        per_coord = np.moveaxis(dev, data_dim, 0).reshape(
+            dev.shape[data_dim], -1)
+        owners = []
+        for coord in range(per_coord.shape[0]):
+            procs = {d.process_index for d in per_coord[coord]}
+            if len(procs) != 1:
+                raise ValueError(
+                    "multi-host data loading needs every data-axis "
+                    f"coordinate on one process; coordinate {coord} spans "
+                    f"processes {sorted(procs)} — reorder the mesh so "
+                    "'data' is the process-spanning axis")
+            owners.append(procs.pop())
+        if len(set(owners)) != jax.process_count():
+            raise ValueError(
+                f"data axis spans {len(set(owners))} of "
+                f"{jax.process_count()} processes; the per-process loader "
+                "shards would not all enter the global batch")
+        local_extent = per_coord.shape[0] // len(set(owners))
+        fn = make_accum_batch_shardings if accum > 1 else make_batch_shardings
+        cache = {}
+
+        def put(batch):
+            lead = next(iter(batch.values())).shape[lead_axis]
+            pad = (-lead) % local_extent
+            if pad:
+                idx = np.arange(lead + pad) % lead
+                batch = {k: np.asarray(v).take(idx, axis=lead_axis)
+                         for k, v in batch.items()}
+            key = (lead + pad, tuple(sorted(batch)))
+            if key not in cache:
+                cache[key] = jax.tree_util.tree_map(
+                    lambda s: s.spec, fn(mesh, batch))
+            return multihost_utils.host_local_array_to_global_array(
+                batch, mesh, cache[key])
+
+        return put
 
     def _batch_shardings(self, accum: int):
         """Shard host batches over the 'data' mesh axis at device_put time

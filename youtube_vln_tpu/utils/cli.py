@@ -141,6 +141,11 @@ def get_parser() -> argparse.ArgumentParser:
     # TPU-specific
     tpu = p.add_argument_group("tpu")
     tpu.add_argument("--mesh_shape", nargs="*", type=int, default=[])
+    tpu.add_argument("--mesh_axes", nargs="*", type=str,
+                     default=["data", "model"],
+                     help="axis names for --mesh_shape dims, in order; "
+                          "'data' must be the process-spanning axis in "
+                          "multi-host runs")
     tpu.add_argument("--compute_dtype", default="bfloat16", type=str,
                      choices=["bfloat16", "float32"])
     tpu.add_argument("--io_dtype", default="float16", type=str,

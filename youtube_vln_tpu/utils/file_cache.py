@@ -94,11 +94,16 @@ def get_from_cache(url: str, cache_dir: Optional[Path] = None,
     cached = cache_dir / url_to_filename(url, etag)
     if cached.exists():
         return cached
-    if etag is not None:
-        # fall back to the etag-less name (offline lookups land here)
-        bare = cache_dir / url_to_filename(url)
-        if bare.exists():
-            return bare
+    bare = cache_dir / url_to_filename(url)
+    if bare.exists():   # manually-placed files use the etag-less name
+        return bare
+    # an OFFLINE lookup (etag=None) must still find a file that a previous
+    # online run stored under its etag-suffixed name — fall back to any
+    # sha(url).<etag-hash> entry, skipping the .json/.tmp sidecars
+    matches = sorted(p for p in cache_dir.glob(url_to_filename(url) + ".*")
+                     if p.suffix not in (".json", ".tmp"))
+    if matches:
+        return matches[0]
     if not allow_download:
         raise FileNotFoundError(
             f"{url} is not cached and downloads are disabled in this "

@@ -28,8 +28,15 @@ def get_logger(name: str, file: str = "") -> logging.Logger:
                         stream=sys.stdout)
     logger = logging.getLogger(name)
     if file:
-        fh = logging.FileHandler(file)
-        logger.addHandler(fh)
+        # loggers are process-global: a second get_logger(name, file) call
+        # (engine re-init, train+eval phases) must not attach a second
+        # FileHandler or every record duplicates in the file (the
+        # reference's misc.py:28-33 does duplicate; deliberate fix)
+        target = str(Path(file).resolve())
+        if not any(isinstance(h, logging.FileHandler)
+                   and getattr(h, "baseFilename", None) == target
+                   for h in logger.handlers):
+            logger.addHandler(logging.FileHandler(file))
     return logger
 
 
@@ -53,7 +60,10 @@ def increment_path(path, sep="", note="") -> Path:
     path = Path(path)
     path.mkdir(parents=True, exist_ok=True)
     dirs = glob(f"{path}{sep}*")
-    matches = [re.search(rf"{re.escape(path.stem)}{re.escape(sep)}(\d+)", d)
+    # match on path.name, not path.stem: a dotted save_name ('model.v2')
+    # would otherwise never match its own prior runs and every run would
+    # get n=1 (the reference's misc.py:67 has the stem bug; deliberate fix)
+    matches = [re.search(rf"{re.escape(path.name)}{re.escape(sep)}(\d+)", d)
                for d in dirs]
     nums = [int(m.groups()[0]) for m in matches if m]
     n = max(nums) + 1 if nums else 1
