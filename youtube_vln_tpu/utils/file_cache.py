@@ -99,11 +99,16 @@ def get_from_cache(url: str, cache_dir: Optional[Path] = None,
         return bare
     # an OFFLINE lookup (etag=None) must still find a file that a previous
     # online run stored under its etag-suffixed name — fall back to any
-    # sha(url).<etag-hash> entry, skipping the .json/.tmp sidecars
-    matches = sorted(p for p in cache_dir.glob(url_to_filename(url) + ".*")
-                     if p.suffix not in (".json", ".tmp"))
-    if matches:
-        return matches[0]
+    # sha(url).<etag-hash> entry, skipping the .json/.tmp sidecars.  An
+    # ONLINE lookup with a fresh etag must NOT take this path: a changed
+    # remote etag means the cache is stale and we should fall through to
+    # the download below (reference re-downloads on etag mismatch).
+    if etag is None:
+        matches = sorted((p for p in cache_dir.glob(url_to_filename(url) + ".*")
+                          if p.suffix not in (".json", ".tmp")),
+                         key=lambda p: p.stat().st_mtime, reverse=True)
+        if matches:
+            return matches[0]
     if not allow_download:
         raise FileNotFoundError(
             f"{url} is not cached and downloads are disabled in this "

@@ -32,9 +32,12 @@ def get_logger(name: str, file: str = "") -> logging.Logger:
         # (engine re-init, train+eval phases) must not attach a second
         # FileHandler or every record duplicates in the file (the
         # reference's misc.py:28-33 does duplicate; deliberate fix)
+        # logging sets baseFilename via os.path.abspath (symlinks NOT
+        # resolved) — resolve both sides so a path through a symlinked
+        # directory still matches the existing handler
         target = str(Path(file).resolve())
         if not any(isinstance(h, logging.FileHandler)
-                   and getattr(h, "baseFilename", None) == target
+                   and str(Path(h.baseFilename).resolve()) == target
                    for h in logger.handlers):
             logger.addHandler(logging.FileHandler(file))
     return logger
