@@ -134,26 +134,69 @@ def test_test_entry_and_metrics(env):
 
 
 def test_test_entry_dedup_beam_steps(env):
-    """--dedup_beam_steps through the full test.py CLI must reproduce the
-    dense run bit-exactly: the loader ships unique (viewpoint, heading,
+    """The step-dedup eval transport (DEFAULT since r5) through the full
+    test.py CLI must reproduce a --no_dedup_beam_steps (reference-shaped
+    dense) run bit-exactly: the loader ships unique (viewpoint, heading,
     step) blocks + a gather index, the in-graph expand feeds the encoder
     identical inputs (f32 here), and padded beams are -inf either way
     (losses.pad_packed), so scores AND trajectories are equal."""
     from conftest import load_entry
     finetuned = require(env, "finetuned", "test_train_entry")
-    dense = require(env, "ev_results", "test_test_entry_and_metrics")
+    dedup = require(env, "ev_results", "test_test_entry_and_metrics")
     test_entry = load_entry('test')
     results_path = test_entry.main(common_flags(env) + [
         "--split", "val_unseen", "--save_name", "evdd",
-        "--dedup_beam_steps", "--from_pretrained", finetuned])
-    dense_dir, dedup_dir = (Path(dense).parent,
-                            Path(results_path).parent)
+        "--no_dedup_beam_steps", "--from_pretrained", finetuned])
+    dense_dir, dedup_dir = (Path(results_path).parent,
+                            Path(dedup).parent)
     for name in ("_scores_val_unseen.json", "_results_val_unseen.json"):
         with open(dense_dir / name) as f:
             dense = json.load(f)
         with open(dedup_dir / name) as f:
             dedup = json.load(f)
         assert dedup == dense, name
+
+
+def test_northstar_rehearsal(env):
+    """scripts/northstar.py — the real-data-day one-command chain
+    (convert -> test.py -> calculate_metrics -> verdict) — must run green
+    on fixtures: same checkpoint as the default eval run, expected values
+    taken from that run's own metrics, so the rehearsal must land within
+    a hair's tolerance and report PASS."""
+    import importlib.util
+
+    finetuned = require(env, "finetuned", "test_train_entry")
+    prior = require(env, "ev_results", "test_test_entry_and_metrics")
+    repo = Path(__file__).resolve().parent.parent
+
+    def load(name, path):
+        spec = importlib.util.spec_from_file_location(name, path)
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        return mod
+
+    calc = load("calc_ns", repo / "scripts" / "calculate_metrics.py")
+    expected = calc.main([prior, "--data_dir", env["data_dir"],
+                          "--split", "val_unseen"])
+
+    northstar = load("northstar", repo / "scripts" / "northstar.py")
+    out = northstar.main([
+        "--data_dir", env["data_dir"],
+        "--img_feature", env["pano_store"],
+        "--from_pretrained", finetuned,
+        "--config_file", env["config_file"],
+        "--bert_tokenizer", env["vocab_path"],
+        "--output_dir", str(Path(env["root"]) / "result"),
+        "--save_name", "northstar",
+        "--split", "val_unseen",
+        "--expected_sr", str(expected["success_rate"]),
+        "--expected_spl", str(expected["spl"]),
+        "--tolerance_pts", "0.01",   # same ckpt + deterministic f32 eval
+        "--extra"] + GEOM)
+    assert out["northstar"] == "PASS", out
+    assert out["comparison"]["success_rate"]["within_tolerance"]
+    assert out["comparison"]["spl"]["within_tolerance"]
+    assert out["metrics"]["spl"] <= out["metrics"]["success_rate"]
 
 
 def test_random_testing_floor(env):

@@ -165,12 +165,10 @@ def test_flagship_width_state_dict_round_trip(rng):
                                       err_msg=jax.tree_util.keystr(k))
 
 
-def test_flagship_width_loss_trajectory(rng):
-    """3 full optimizer steps at flagship widths: losses must match the
-    reference stack step for step (f32, dropout off, masking precomputed).
-    Vision seq reduced to 96 — the width-dependent math (12/8/8-head
-    attention layouts, 1601-way KL head, 30522-way tied MLM decoder,
-    AdamW over the real parameter groups) is independent of seq length."""
+def _run_loss_trajectory(rng, *, bs, nc, s_t, s_v, n_steps):
+    """Drive N full optimizer steps (losses + grads + AdamW + schedule)
+    through BOTH stacks at flagship widths; returns (our, ref) loss lists.
+    Shared by the s_v=96 3-step case and the s_v=808 real-extent case."""
     ref = import_reference_vilbert()
     import sys
     from types import SimpleNamespace
@@ -178,7 +176,7 @@ def test_flagship_width_loss_trajectory(rng):
     from lily import Lily
     from vilbert.optimization import AdamW, WarmupLinearSchedule
 
-    N_STEPS, LR = 3, 1e-4
+    N_STEPS, LR = n_steps, 1e-4
     torch.manual_seed(1)
     args_ns = SimpleNamespace(model_name="vilbert", ranking=True,
                               traj_judge=True, masked_vision=True,
@@ -191,7 +189,6 @@ def test_flagship_width_loss_trajectory(rng):
     model.dropout.p = 0.0
     init_state = {k: v.clone() for k, v in model.state_dict().items()}
 
-    bs, nc, s_t, s_v = 2, 7, 60, 96
     n = bs * nc
     tokens, t_mask, feats, locs, v_mask = _random_batch(rng, n, s_t, s_v)
     probs = rng.random((n, s_v, V_TARGET)).astype(np.float32)
@@ -281,7 +278,31 @@ def test_flagship_width_loss_trajectory(rng):
     for i in range(N_STEPS):
         state, metrics = step(state, batch, jax.random.PRNGKey(i))
         our_losses.append(float(metrics["loss/train"]))
+    return our_losses, ref_losses
 
+
+def test_flagship_width_loss_trajectory(rng):
+    """3 full optimizer steps at flagship widths: losses must match the
+    reference stack step for step (f32, dropout off, masking precomputed).
+    Vision seq reduced to 96 — the width-dependent math (12/8/8-head
+    attention layouts, 1601-way KL head, 30522-way tied MLM decoder,
+    AdamW over the real parameter groups) is independent of seq length."""
+    our_losses, ref_losses = _run_loss_trajectory(rng, bs=2, nc=7, s_t=60,
+                                                  s_v=96, n_steps=3)
     np.testing.assert_allclose(our_losses, ref_losses, rtol=2e-3,
                                err_msg=f"ours={our_losses} ref={ref_losses}")
     assert our_losses[-1] < our_losses[0]
+
+
+def test_flagship_width_bwd_at_real_vision_extent(rng):
+    """VERDICT r4 #5: the backward + AdamW chain at the kernels' REAL
+    operating point (s_v=808 region attention), not only s_v=96.  Two
+    optimizer steps: step 1's loss pins the forward at 808 (redundantly
+    with the all-heads test), step 2's loss depends on every gradient and
+    optimizer update from step 1 — a loss-level fingerprint of the full
+    bwd at real extent.  bs=1 keeps the torch-side 808-attention residuals
+    (~150 MB/layer) affordable on this box."""
+    our_losses, ref_losses = _run_loss_trajectory(rng, bs=1, nc=7, s_t=60,
+                                                  s_v=808, n_steps=2)
+    np.testing.assert_allclose(our_losses, ref_losses, rtol=2e-3,
+                               err_msg=f"ours={our_losses} ref={ref_losses}")
