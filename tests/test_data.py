@@ -532,7 +532,7 @@ def _beam_eval_pair(r2r_env, **kw):
         tok, reader, num_beams=4, num_beams_strict=False,
         training=False, masked_vision=False, masked_language=False,
         shuffle_visual_features=False, data_dir=r2r_env["data_dir"], seed=0)
-    return mk(), mk(dedup_beam_steps=True), reader
+    return mk(dedup_beam_steps=False), mk(dedup_beam_steps=True), reader
 
 
 def test_beam_step_dedup_item_expands_to_dense(r2r_env):
@@ -1056,7 +1056,10 @@ def test_beam_eval_batch_size_one_scores_all_ranked_paths(tmp_path):
 
     tok = load_tokenizer(env["vocab_path"])
     reader = PanoFeaturesReader(env["store_path"])
-    args = _beam_args(batch_size=1, num_beams=4)
+    # dense transport: this test pins the DENSE ragged-candidate collate
+    # sizing (the step-dedup layout's ragged handling is pinned by the
+    # bucket/expansion tests above)
+    args = _beam_args(batch_size=1, num_beams=4, dedup_beam_steps=False)
     ds = BeamDataset(
         args, f"{env['data_dir']}/task/R2R_val_unseen.json", beam_path,
         tok, reader, num_beams=args.num_beams, num_beams_strict=False,

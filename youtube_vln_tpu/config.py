@@ -284,7 +284,7 @@ class RunConfig:
                                     # sparse_vision_targets (so both
                                     # default ON together); requires
                                     # sparse_vision_targets when forced on.
-    dedup_beam_steps: bool = False  # beam-eval transport: the <=30 beams
+    dedup_beam_steps: bool = True   # beam-eval transport: the <=30 beams
                                     # of one instruction are tree-shaped
                                     # paths over one graph neighborhood
                                     # (all_dataset.py:981-1041), so their
@@ -292,8 +292,19 @@ class RunConfig:
                                     # ship each unique (viewpoint, heading,
                                     # step) block once + a per-beam step
                                     # index, expanded in-graph before the
-                                    # encoder.  Bit-exact (pinned); eval
-                                    # items only, needs masked-vision off.
+                                    # encoder.  Default ON since r5:
+                                    # bit-exact through the full test.py
+                                    # CLI (pinned tests/test_e2e.py), -50%
+                                    # eval H2D measured (100.5 -> 50.3
+                                    # MB/instruction), bucket padding
+                                    # capped at the dense slot count so
+                                    # small geometries can't invert the
+                                    # saving, and the cold-cache cost is
+                                    # bounded (<= ceil(nc*L/40) scorer jit
+                                    # shapes).  Self-gating: only applies
+                                    # to eval items with masked-vision
+                                    # off; --no_dedup_beam_steps restores
+                                    # reference-shaped transport.
     sparse_task_heads: bool = True  # run the MLM / masked-vision decoders
                                     # only on positions that carry targets
                                     # (loss-exact; the dense heads waste

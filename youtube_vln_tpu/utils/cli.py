@@ -172,12 +172,16 @@ def get_parser() -> argparse.ArgumentParser:
     tpu.add_argument("--no_dedup_candidates", dest="dedup_candidates",
                      action="store_false")
     tpu.add_argument("--dedup_beam_steps", action="store_true",
-                     default=False,
+                     default=True,
                      help="beam-eval transport: ship each unique "
                           "(viewpoint, heading, step) pano block once per "
                           "instruction + a per-beam step index, expanded "
-                          "in-graph (bit-exact; eval items, masked-vision "
-                          "off)")
+                          "in-graph (bit-exact; self-gates to eval items "
+                          "with masked-vision off) - DEFAULT ON")
+    tpu.add_argument("--no_dedup_beam_steps", dest="dedup_beam_steps",
+                     action="store_false",
+                     help="reference-shaped dense per-beam eval transport "
+                          "(for A/B transport comparisons)")
     tpu.add_argument("--no_pallas", action="store_true", default=False)
     tpu.add_argument("--remat", action="store_true", default=False)
     tpu.add_argument("--profile_dir", default="", type=str)
