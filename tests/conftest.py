@@ -109,6 +109,34 @@ def import_reference_common():
     return ref_common
 
 
+# Multi-minute suites (cross-stack loop/config parity, multi-process
+# meshes, full CLI workflows).  Auto-marked `slow` so the fast loop is
+# `pytest tests/ -m "not slow"` and the full suite stays plain
+# `pytest tests/`.
+SLOW_FILES = {
+    "test_e2e.py",               # ~6 min: full CLI workflows on fixtures
+    "test_parallel.py",          # ~7 min: DP8 + DP4xTP2 on the fake mesh
+    "test_distributed.py",       # 2-OS-process meshes + cross-host Orbax
+    "test_flagship_parity.py",   # flagship widths vs live torch
+    "test_flagship_shapes.py",   # flagship-geometry TP compiles (~80 s)
+    "test_full_config_parity.py",  # literal 12/6/6 schedule, ~250M params
+    "test_eval_parity.py",       # live reference test.py loop
+    "test_train_loop_parity.py",    # live reference train/val epochs
+    "test_pretrain_loop_parity.py",  # live reference pretrain epochs
+}
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "slow: multi-minute cross-stack / multi-process suites")
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        if Path(item.fspath).name in SLOW_FILES:
+            item.add_marker(pytest.mark.slow)
+
+
 @pytest.fixture(scope="session")
 def rng():
     return np.random.default_rng(0)
