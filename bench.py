@@ -358,7 +358,8 @@ def bench_eval_path(jax, params):
 
     sys.path.insert(0, str(Path(__file__).resolve().parent / "scripts"))
     from bench_serving import (_visual_bytes, build_dedup_eval_batch,
-                               build_eval_batch)
+                               build_eval_batch, make_jitter,
+                               time_dispatch_windows)
 
     cfg_eval = lily_base_config(ranking=True, traj_judge=False,
                                 masked_vision=False, masked_language=False,
@@ -380,27 +381,15 @@ def bench_eval_path(jax, params):
     for name, (batch, feat_key, feat_dtype) in layouts.items():
         dbatch = jax.device_put(batch)
         # AOT-compile once; the jit call cache and lower().compile() do
-        # not share entries, so time the compiled executable throughout
+        # not share entries, so time the compiled executable throughout.
+        # Jitter + window mechanics are shared with bench_serving so
+        # dispatch-distinctness fixes land in one place (make_jitter's
+        # docstring explains why a scalar-uniform epsilon is NOT
+        # dispatch-distinct).
         compiled = step.lower(params, dbatch).compile()
-        # multiplicative jitter: every dispatch bitwise-distinct so axon
-        # cannot memoize (f16 needs a coarser perturbation than f32)
-        eps = 1e-3 if feat_dtype == jnp.float16 else 1e-6
-        jitter = jax.jit(lambda b, key, fk=feat_key, ft=feat_dtype, e=eps: {
-            **b, fk: b[fk] * (1.0 + jax.random.uniform(key, (), ft) * e)})
-        o = compiled(params, jitter(dbatch, jax.random.PRNGKey(999)))
-        float(np.asarray(o).ravel()[0])   # readback forces execution
-
-        n_disp, n_windows = 12, 3
-        dts = []
-        for w in range(n_windows):
-            t0 = time.perf_counter()
-            outs = [compiled(params,
-                             jitter(dbatch,
-                                    jax.random.PRNGKey(w * n_disp + i)))
-                    for i in range(n_disp)]
-            for oo in outs:
-                float(np.asarray(oo).ravel()[0])
-            dts.append((time.perf_counter() - t0) / n_disp)
+        jitter = make_jitter(feat_key, feat_dtype)
+        dts = time_dispatch_windows(compiled, params, dbatch, jitter,
+                                    n_disp=12, n_windows=3)
         dt = float(np.median(dts))
         out[name] = {
             "ms_per_dispatch": round(dt * 1000, 1),

@@ -63,6 +63,56 @@ def _visual_bytes(batch):
                if k.startswith(("image_", "uniq_step_", "step_index")))
 
 
+def make_jitter(feat_key, feat_dtype):
+    """Per-dispatch multiplicative perturbation of ``batch[feat_key]``
+    that is GUARANTEED bitwise-distinct across dispatch indices.
+
+    axon memoizes identical-input dispatches (CLAUDE.md gotcha), so every
+    timed dispatch must carry distinct input bits.  A scalar uniform draw
+    times a small epsilon does NOT achieve that: ``1.0 + uniform*eps``
+    quantizes at 1.0 to ~2 representable factors in f16 (eps=1e-3) and
+    ~8 in f32 (eps=1e-6) — INCLUDING exactly 1.0, which leaves the batch
+    bitwise identical to the unjittered one.  Instead the factor is
+    ``1 + (i+1)*STEP`` with STEP >= 1 ulp of the feature dtype at 1.0:
+    consecutive dispatch indices map to strictly increasing representable
+    factors (never exactly 1.0), so every dispatch is distinct by
+    construction.  The perturbation stays numerically negligible for
+    timing (<=4% of feature magnitude over a 36-dispatch run in f16,
+    <<1e-4 in f32)."""
+    import jax
+    import jax.numpy as jnp
+
+    step = 2.0 ** -10 if feat_dtype == jnp.float16 else 2.0 ** -20
+
+    def _jitter(b, i):
+        factor = (1.0 + (i.astype(jnp.float32) + 1.0) * step)
+        return {**b, feat_key: b[feat_key] * factor.astype(feat_dtype)}
+
+    return jax.jit(_jitter)
+
+
+def time_dispatch_windows(fn, params, dbatch, jitter, n_disp=12,
+                          n_windows=1, warmup_index=100_000):
+    """Warmup + ``n_windows`` timed windows of ``n_disp`` pipelined
+    dispatches each; every window is closed by reading back ALL results
+    (on axon only readback forces execution — ``block_until_ready`` does
+    not).  ``fn(params, batch)`` may be a jitted function or an AOT
+    ``lower().compile()`` executable.  Dispatch indices are globally
+    unique across warmup and windows so no two dispatches share input
+    bits.  Returns the per-dispatch seconds of each window."""
+    out = fn(params, jitter(dbatch, np.int32(warmup_index)))
+    float(np.asarray(out).ravel()[0])
+    dts = []
+    for w in range(n_windows):
+        t0 = time.perf_counter()
+        outs = [fn(params, jitter(dbatch, np.int32(w * n_disp + i)))
+                for i in range(n_disp)]
+        for o in outs:
+            float(np.asarray(o).ravel()[0])
+        dts.append((time.perf_counter() - t0) / n_disp)
+    return dts
+
+
 def main():
     import argparse
 
@@ -94,30 +144,14 @@ def main():
     results = {}
     for bs in (1, 8):
         batch = jax.device_put(build_eval_batch(cfg, bs, nc, s_t, s_v))
-        # multiplicative jitter: a relative 1e-6 perturbation survives f32
-        # rounding at every magnitude, so each dispatch is bitwise-distinct
-        # and axon cannot memoize it (an additive 1e-12 would be absorbed
-        # for O(1)-magnitude features)
-        jitter = jax.jit(lambda b, key: {
-            **b, "image_features": b["image_features"]
-            * (1.0 + jax.random.uniform(key, (), jnp.float32) * 1e-6)})
+        jitter = make_jitter("image_features", jnp.float32)
 
         # AOT-compile ONCE per row and time the compiled executable —
         # the jit call-time cache and lower().compile() do NOT share
         # entries, so mixing the two pays a second full XLA compile
         compiled = step.lower(params, batch).compile()
 
-        # warmup: force a readback
-        out = compiled(params, jitter(batch, jax.random.PRNGKey(999)))
-        float(np.asarray(out).ravel()[0])
-
-        n = 12
-        t0 = time.perf_counter()
-        outs = [compiled(params, jitter(batch, jax.random.PRNGKey(i)))
-                for i in range(n)]
-        for o in outs:
-            float(np.asarray(o).ravel()[0])
-        dt = (time.perf_counter() - t0) / n
+        dt = time_dispatch_windows(compiled, params, batch, jitter)[0]
         results[f"bs{bs}"] = {
             "ms_per_dispatch": round(dt * 1000, 1),
             "beams_per_s": round(bs * nc / dt, 1),
@@ -162,18 +196,8 @@ def main():
         assert max_err < 1e-2, max_err   # bf16 forward; exact on f32
 
         ddev = jax.device_put(dd)
-        jitter_d = jax.jit(lambda b, key: {
-            **b, "uniq_step_features": b["uniq_step_features"]
-            * (1.0 + jax.random.uniform(key, (), jnp.float16) * 1e-3)})
-        out = step(params, jitter_d(ddev, jax.random.PRNGKey(999)))
-        float(np.asarray(out).ravel()[0])
-        n = 12
-        t0 = time.perf_counter()
-        outs = [step(params, jitter_d(ddev, jax.random.PRNGKey(i)))
-                for i in range(n)]
-        for o in outs:
-            float(np.asarray(o).ravel()[0])
-        dt = (time.perf_counter() - t0) / n
+        jitter_d = make_jitter("uniq_step_features", jnp.float16)
+        dt = time_dispatch_windows(step, params, ddev, jitter_d)[0]
         # byte comparison on equal footing: the real loader ships f16
         # features either way (io_dtype), locations/masks as emitted
         dense_b = _visual_bytes({**dense, "image_features":

@@ -60,7 +60,14 @@ def ensure_store(img_feature: str) -> str:
         return str(out)
     from youtube_vln_tpu.data.store import convert_lmdb
     print(f"# northstar: converting {p} -> {out}", file=sys.stderr)
-    n = convert_lmdb(str(p), str(out), pano=True)
+    # Convert to a temp name and publish atomically: a converter killed
+    # mid-run (OOM/SIGKILL — no __exit__ cleanup) must never leave `out`
+    # present, or the next invocation would "reuse" a truncated store and
+    # the eval failure would masquerade as a model-parity failure.
+    tmp = out.with_name(out.name + ".tmp")
+    import os
+    n = convert_lmdb(str(p), str(tmp), pano=True)
+    os.replace(tmp, out)
     print(f"# northstar: converted {n} records", file=sys.stderr)
     return str(out)
 
@@ -110,6 +117,18 @@ def main(argv=None):
         test_argv += ["--beam_prefix", ns.beam_prefix]
     test_argv += list(ns.extra)
     results_path = test_entry.main(test_argv)
+
+    if ns.split == "test":
+        # The R2R test split carries no ground-truth paths (leaderboard
+        # submission protocol) — the metrics stage would crash AFTER the
+        # full expensive eval, or worse score against a bare start node.
+        # Emit the results file only; SR/SPL come from the eval server.
+        out = {"northstar": "NO_GROUND_TRUTH", "split": ns.split,
+               "results": str(results_path),
+               "note": "test split has no GT paths; submit the results "
+                       "file to the R2R leaderboard for SR/SPL"}
+        print(json.dumps(out))
+        return out
 
     calc = _load_by_path("northstar_calc",
                          REPO_ROOT / "scripts" / "calculate_metrics.py")

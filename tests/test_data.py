@@ -32,6 +32,31 @@ def test_store_round_trip(tmp_path):
     st.close()
 
 
+def test_store_writer_drops_partial_file_on_exception(tmp_path):
+    """A converter dying mid-write must NOT leave a valid-looking store:
+    close() finalizes header+index for however many records landed, and a
+    truncated store that parses cleanly is silently served by every
+    reader (r5 review finding — an 80 GB lmdb conversion dying halfway
+    would then 'work' with most viewpoints missing).  On exception the
+    partial file is removed so re-runs start from the source."""
+    from youtube_vln_tpu.data.store import StoreWriter
+
+    path = tmp_path / "partial.vlnstore"
+    rec = F._random_record(np.random.default_rng(0), 2, False)
+    with pytest.raises(RuntimeError, match="mid-conversion"):
+        with StoreWriter(path) as w:
+            w.add("a", rec)
+            raise RuntimeError("mid-conversion failure")
+    assert not path.exists()
+
+    # the success path still finalizes normally
+    with StoreWriter(path) as w:
+        w.add("a", rec)
+    st = Store(path)
+    assert set(st.keys) == {"a"}
+    st.close()
+
+
 def test_store_pano_fields(tmp_path):
     path = tmp_path / "p.vlnstore"
     F.write_store(path, ["scan0-vp0"], k_boxes=4, pano=True, seed=2)
@@ -503,11 +528,12 @@ def test_beam_dataset_train(r2r_env):
     reader.close()
 
 
-def test_beam_dataset_eval_tiles_to_num_beams(r2r_env):
+@pytest.mark.parametrize("dedup", [False, True], ids=["dense", "dedup"])
+def test_beam_dataset_eval_tiles_to_num_beams(r2r_env, dedup):
     from youtube_vln_tpu.data.tokenizer import load_tokenizer
     tok = load_tokenizer(r2r_env["vocab_path"])
     reader = PanoFeaturesReader(r2r_env["store_path"])
-    args = _beam_args()
+    args = _beam_args(dedup_beam_steps=dedup)
     ds = BeamDataset(
         args, f"{r2r_env['data_dir']}/task/R2R_val_unseen.json",
         f"{r2r_env['data_dir']}/beamsearch/beams_val_unseen.json",
@@ -918,15 +944,21 @@ def test_native_pack_pano_steps_rejects_undersized_out(tmp_path):
     reader.close()
 
 
-def test_eval_fast_item_matches_generic_path(r2r_env):
+@pytest.mark.parametrize("dedup", [False, True], ids=["dense", "dedup"])
+def test_eval_fast_item_matches_generic_path(r2r_env, dedup):
     """The probs-free batched eval item (one native call, no [S_v,1601]
     stack) must equal the generic _finalize item field-for-field —
-    features bit-exactly (F16C == numpy astype(float16))."""
+    features bit-exactly (F16C == numpy astype(float16)).  Parametrized
+    over BOTH transport layouts: the r5 default flip to dedup_beam_steps
+    would otherwise silently drop the dense fast-path pin (the dense
+    layout stays reachable via --no_dedup_beam_steps and is the A/B
+    baseline in bench_serving)."""
     from youtube_vln_tpu.data.tokenizer import load_tokenizer
     tok = load_tokenizer(r2r_env["vocab_path"])
     reader = PanoFeaturesReader(r2r_env["store_path"])
     mk = lambda: BeamDataset(
-        _beam_args(), f"{r2r_env['data_dir']}/task/R2R_val_unseen.json",
+        _beam_args(dedup_beam_steps=dedup),
+        f"{r2r_env['data_dir']}/task/R2R_val_unseen.json",
         f"{r2r_env['data_dir']}/beamsearch/beams_val_unseen.json",
         tok, reader, num_beams=4, num_beams_strict=False,
         training=False, masked_vision=False, masked_language=False,

@@ -113,8 +113,21 @@ class StoreWriter:
     def __enter__(self):
         return self
 
-    def __exit__(self, *exc):
-        self.close()
+    def __exit__(self, exc_type, *exc):
+        if exc_type is None:
+            self.close()
+            return
+        # Do NOT finalize on failure: close() writes a valid header+index
+        # for however many records landed before the exception, and a
+        # TRUNCATED store that parses cleanly is silently served by every
+        # reader (an 80 GB conversion dying halfway would then "work"
+        # with most viewpoints missing).  Drop the partial file instead —
+        # the converter is idempotent and re-runs from the source.
+        self._f.close()
+        try:
+            self._path.unlink()
+        except OSError:
+            pass
 
 
 def _load_native() -> Optional[ctypes.CDLL]:
