@@ -197,7 +197,13 @@ def main():
 
         ddev = jax.device_put(dd)
         jitter_d = make_jitter("uniq_step_features", jnp.float16)
-        dt = time_dispatch_windows(step, params, ddev, jitter_d)[0]
+        # AOT like the dense rows: the jit call path adds per-dispatch
+        # Python/pytree overhead that would bias the dense-vs-dedup
+        # comparison.  (Costs one extra compile — the jit cache used by
+        # the parity checks above and lower().compile() do NOT share
+        # entries — but an honest comparison is worth ~40 s of compile.)
+        compiled_d = step.lower(params, ddev).compile()
+        dt = time_dispatch_windows(compiled_d, params, ddev, jitter_d)[0]
         # byte comparison on equal footing: the real loader ships f16
         # features either way (io_dtype), locations/masks as emitted
         dense_b = _visual_bytes({**dense, "image_features":
