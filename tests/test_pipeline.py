@@ -207,6 +207,35 @@ def test_box_orientation_wraps():
     assert (-np.pi < heading).all() and (heading <= np.pi).all()
 
 
+def test_make_record_foc_scales_with_image_height():
+    """The focal length must come from THIS image's height (r5 review
+    finding): the module FOC is only valid for 600px-high frames — the
+    reference resizes to 600x600 before detection, a pluggable detector
+    may not.  A box at a fixed FRACTION of the frame must get the same
+    heading/elevation at 600px and at 720p."""
+    import math
+
+    from youtube_vln_tpu.pipeline import extraction as E
+
+    def rec_for(h, w):
+        # box spanning the same fractional extent of the image
+        boxes = np.array([[0.7 * w, 0.2 * h, 0.9 * w, 0.4 * h]], np.float32)
+        feats = np.ones((1, 4), np.float32)
+        probs = np.ones((1, 3), np.float32)
+        img = np.zeros((h, w, 3), np.uint8)
+        return E.make_record("v", "0001", img, boxes, feats, probs)
+
+    r600 = rec_for(600, 600)
+    r720 = rec_for(720, 1280)
+    # same VERTICAL fraction -> same elevation regardless of resolution
+    np.testing.assert_allclose(r720["featureElevation"],
+                               r600["featureElevation"], rtol=1e-6)
+    # heading through the pinhole model with foc = (h/2)/tan(VFOV/2)
+    foc = (720 / 2) / math.tan(math.radians(E.VFOV / 2))
+    exp = np.arctan2(0.8 * 1280 - 1280 / 2, foc)
+    np.testing.assert_allclose(r720["featureHeading"][0, 0], exp, rtol=1e-6)
+
+
 # --------------------------------------------------------------------------- #
 # captions
 # --------------------------------------------------------------------------- #
@@ -306,13 +335,15 @@ def test_places365_indoor_scorer_drives_filter(rng):
 
     scores = P.indoor_scores(params, frames, labels_io)
     kept = FL.indoor_filter([0, 1, 2], scores)
-    assert kept == [i for i, s in enumerate(scores) if s >= 0.5]
-    # away from the io==0.5 boundary the vote and the score agree exactly
+    assert kept == [i for i, s in enumerate(scores) if s > 0.5]
+    # the vote and the strict-threshold filter agree EVERYWHERE,
+    # including the reachable io==0.5 boundary (5/5 top-10 vote): the
+    # reference's `io_image < 0.5` rejects it
     for s, det in zip(scores, dets):
         io_image, indoor = det["is_indoor"]
         assert s == pytest.approx(1.0 - io_image)
-        if abs(io_image - 0.5) > 1e-9:
-            assert indoor == (s >= 0.5)
+        assert indoor == (s > 0.5)
+    assert FL.indoor_filter([7], [0.5]) == []   # boundary pin
 
 
 # --------------------------------------------------------------------------- #
@@ -589,13 +620,19 @@ def test_inverse_action_learns_from_images():
 
 
 def test_action_profiles(tmp_path):
+    caps = {"%04d.jpg" % i: [f"room {i}"] for i in (1, 2, 3, 4, 5)}
     path = IA.write_action_profiles(
         tmp_path, "vid7",
         trajectories={"0": [1, 3, 5], "1": [2, 4]},
         actions_by_frame={1: "left", 3: "forward", 2: "right"},
-        captions={})
+        captions=caps)
     data = json.loads(path.read_text())
     assert data == [{"1": ["left"], "3": ["forward"]}, {"2": ["right"]}]
+    # captions_pro.json: per-trajectory captions INCLUDING the last frame
+    # (reference genearate_Profiles.py:55-62 writes both artifacts)
+    cap_data = json.loads((path.parent / "captions_pro.json").read_text())
+    assert cap_data == [{"1": "room 1", "3": "room 3", "5": "room 5"},
+                        {"2": "room 2", "4": "room 4"}]
 
 
 # --------------------------------------------------------------------------- #
@@ -749,6 +786,30 @@ def test_assemble_records_filters():
     assert ids == [0, 2]                  # 1 dropped (person), 3 (outdoor)
     assert recs[0]["caption"] == "kitchen with sink"
     assert recs[0]["action"] == "left"
+
+
+def test_assemble_records_trajectory_semantics():
+    """Reference build_dataset.py:178-195 semantics (r5 review finding):
+    keyframe membership comes from the TRAJECTORY — the last trajectory
+    frame keeps its caption with action '' (no outgoing action), and
+    non-keyframe context frames get caption '' AND action '' (never
+    'forward')."""
+    caps = {"v0": {"0000.jpg": ["kitchen with sink"],
+                   "0001.jpg": ["hallway with lamp"],
+                   "0002.jpg": ["office with desk"]}}
+    actions = {"v0": {0: "left"}}          # trajectory[:-1] only
+    traj = {"v0": [0, 2]}                  # frame 1 is a context frame
+    recs = B.assemble_records(["v0"], caps, actions,
+                              trajectory_by_video=traj)
+    by_id = {r["frame_id"]: r for r in recs}
+    assert by_id[0] == {"video_id": "v0", "frame_id": 0,
+                        "caption": "kitchen with sink", "action": "left"}
+    # last trajectory frame: caption KEPT, action ""
+    assert by_id[2] == {"video_id": "v0", "frame_id": 2,
+                        "caption": "office with desk", "action": ""}
+    # context frame: caption "" and action "" (not "forward")
+    assert by_id[1] == {"video_id": "v0", "frame_id": 1,
+                        "caption": "", "action": ""}
 
 
 def test_preprocess_records_filters(tmp_path):

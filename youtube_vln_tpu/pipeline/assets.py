@@ -131,7 +131,14 @@ def connectivity_manifest() -> Dict[str, str]:
 def fetch(target: str, data_dir: str = "data",
           allow_download: bool = False) -> Optional[Path]:
     """Resolve one asset; returns the local path or None with guidance."""
-    local = Path(data_dir) / Path(target).relative_to("data")
+    try:
+        rel = Path(target).relative_to("data")
+    except ValueError:
+        # every known asset lives under data/; a non-data path would
+        # otherwise crash here before reaching the unknown-asset branch
+        logger.warning("unknown asset %s", target)
+        return None
+    local = Path(data_dir) / rel
     if local.exists():
         return local
     url = ASSETS.get(target) or connectivity_manifest().get(target)

@@ -22,18 +22,38 @@ def assemble_records(video_ids: Sequence[str],
                      actions_by_video: Dict[str, Dict[int, str]],
                      indoor_by_video: Optional[Dict[str, List[int]]] = None,
                      maskrcnn_by_video: Optional[Dict[str, Dict]] = None,
+                     trajectory_by_video: Optional[Dict[str, List[int]]]
+                     = None,
                      ) -> List[Dict]:
-    """One record per surviving frame.
+    """One record per surviving frame (reference build_dataset.py:178-195).
 
-    captions_by_video: vid -> {"%04d.jpg": [caption]} (captions_SE.json)
-    actions_by_video:  vid -> {frame_id: action word} (inverse model output);
-                       frames without an action entry get caption "" (they
-                       are captionless context frames).
+    captions_by_video:   vid -> {"%04d.jpg": [caption]} (captions_SE.json)
+    actions_by_video:    vid -> {frame_id: action word} (inverse model
+                         output — trajectory frames EXCEPT the last)
+    trajectory_by_video: vid -> ordered keyframe ids (trajectory.json).
+                         Keyframe membership is decided by the TRAJECTORY,
+                         not the action dict: the last trajectory frame has
+                         no outgoing action yet keeps its caption with
+                         action "" (the reference's `frame == trajectory
+                         [-1]` branch).  Non-keyframes get caption "" AND
+                         action "" — not "forward" (an r5 review finding:
+                         both wrongs changed min_caption filtering,
+                         instruction content, and MLM text vs a
+                         reference-built ytb_train.json).  Defaults to the
+                         action keys + their successors being unknowable,
+                         so callers must pass it; None falls back to
+                         treating action-dict keys as the keyframes WITH a
+                         final captioned keyframe unavailable (legacy
+                         fixture behavior, kept for inputs that never had
+                         a trajectory file).
     """
     records = []
     for vid in video_ids:
         caps = captions_by_video[vid]
         actions = actions_by_video.get(vid, {})
+        traj = (trajectory_by_video or {}).get(vid)
+        keyframes = set(traj) if traj is not None else set(actions)
+        last = traj[-1] if traj else None
         for name, cap_list in sorted(caps.items()):
             fid = int(name.split(".")[0])
             caption = cap_list[0]
@@ -43,12 +63,13 @@ def assemble_records(video_ids: Sequence[str],
                     maskrcnn=(maskrcnn_by_video or {}).get(vid),
                     caption=caption):
                 continue
-            keyframe = fid in actions
+            keyframe = fid in keyframes
             records.append({
                 "video_id": vid,
                 "frame_id": fid,
                 "caption": caption if keyframe else "",
-                "action": actions.get(fid, "forward"),
+                "action": ("" if fid == last or not keyframe
+                           else actions.get(fid, "")),
             })
     return records
 

@@ -27,7 +27,7 @@ import numpy as np
 LN_EPS = 1e-5
 
 
-@dataclass
+@dataclass(frozen=True)  # hashable: used as a static jit argument below
 class ClipConfig:
     # ViT-B/32 defaults (openai/clip-vit-base-patch32)
     image_size: int = 224
@@ -277,9 +277,23 @@ CLIP_STD = np.array([0.26862954, 0.26130258, 0.27577711], np.float32)
 
 
 def preprocess_images(images_uint8: np.ndarray, size: int = 224) -> np.ndarray:
-    """[N, H, W, 3] uint8 -> CLIP-normalized float32 [N, size, size, 3]."""
+    """[N, H, W, 3] uint8 -> CLIP-normalized float32 [N, size, size, 3].
+
+    ``clip.load()``'s transform geometry: Resize(size, BICUBIC) on the
+    SHORTER side + CenterCrop(size) (the reference steps 6a/6b consume
+    frames through exactly that preprocess).  An earlier version squashed
+    the full frame bilinearly — on a 1280x720 video frame that encodes an
+    aspect-distorted full frame where the reference encodes the central
+    square crop, shifting embeddings and zero-shot caption argmaxes."""
     x = jnp.asarray(images_uint8, jnp.float32) / 255.0
-    x = jax.image.resize(x, (x.shape[0], size, size, 3), method="bilinear")
+    n, h, w = x.shape[:3]
+    if h < w:
+        nh, nw = size, max(size, int(round(w * size / h)))
+    else:
+        nh, nw = max(size, int(round(h * size / w))), size
+    x = jax.image.resize(x, (n, nh, nw, 3), method="bicubic")
+    top, left = (nh - size) // 2, (nw - size) // 2
+    x = x[:, top:top + size, left:left + size, :]
     return np.asarray((x - CLIP_MEAN) / CLIP_STD, np.float32)
 
 
@@ -372,10 +386,18 @@ def encode_video_frames(params, cfg: ClipConfig, images_uint8: np.ndarray,
                         batch_size: int = 64) -> np.ndarray:
     """Frame pipeline of precomute_CLIP_features.py:70-100: preprocess +
     encode_image, float32 [N, proj_dim]."""
-    fn = jax.jit(lambda px: clip_image_features(params, cfg, px))
     chunks = []
     for s in range(0, len(images_uint8), batch_size):
         px = preprocess_images(images_uint8[s:s + batch_size],
                                cfg.image_size)
-        chunks.append(np.asarray(fn(jnp.asarray(px)), np.float32))
+        chunks.append(np.asarray(
+            _clip_image_features_jit(params, cfg, jnp.asarray(px)),
+            np.float32))
     return np.concatenate(chunks, axis=0)
+
+
+# shared jitted instance — the step-6 driver calls encode_video_frames
+# once per VIDEO; a fresh per-call jax.jit(lambda ...) would re-trace and
+# re-compile the whole ViT for every video (cfg is static: frozen
+# dataclass)
+_clip_image_features_jit = jax.jit(clip_image_features, static_argnums=1)

@@ -158,7 +158,16 @@ def make_record(video_id: str, frame_id: str, image: np.ndarray,
                 max_boxes: int = MAX_TOTAL_BOXES) -> Dict:
     """Assemble one TSV row dict from a detector's raw output."""
     h, w = image.shape[:2]
-    heading, elevation = compute_box_orientation(boxes, w, h)
+    # The module-level FOC is only valid for HEIGHT=600 images (the
+    # reference resizes every frame to 600x600 via transform_img before
+    # detection, so its WIDTH/HEIGHT/FOC are mutually consistent).  Our
+    # detector is pluggable and may run on the raw frame, so derive the
+    # focal length from THIS image's height — (h/2)/tan(VFOV/2) — or a
+    # 720p frame gets every featureHeading/featureElevation systematically
+    # compressed by 600/720 (r5 review finding; skews both the redundancy
+    # filter distances and the orientation features the model consumes).
+    foc = (h / 2) / math.tan(math.radians(VFOV / 2))
+    heading, elevation = compute_box_orientation(boxes, w, h, foc=foc)
     record = {
         "video_id": video_id,
         "frame_id": frame_id,

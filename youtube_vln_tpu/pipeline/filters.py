@@ -24,7 +24,12 @@ INDOOR_THRESHOLD = 0.5
 
 def indoor_filter(frames: Sequence[int], indoor_scores: Sequence[float],
                   threshold: float = INDOOR_THRESHOLD) -> List[int]:
-    return [f for f, s in zip(frames, indoor_scores) if s >= threshold]
+    """Frames KEPT as indoor: score > threshold STRICTLY.  The score is
+    1 - io_image, so this is the reference's ``io_image < 0.5`` vote
+    (filter_outdoor_resnet_place365.py:203-206); io_image is a mean of 10
+    binary labels, so the == 0.5 boundary is reachable (a 5/5 top-10
+    vote) and the reference REJECTS it — a >= here silently kept it."""
+    return [f for f, s in zip(frames, indoor_scores) if s > threshold]
 
 
 def person_filter(frames: Sequence[int], person_scores: Sequence[float],
@@ -91,13 +96,15 @@ def places365_indoor_probs(params, images_uint8, is_indoor_class: np.ndarray,
     (the reference 5b driver uses a Places365 ResNet the same way)."""
     import jax
     import jax.numpy as jnp
-    from .places365 import places_forward, preprocess_images
+    # shared jitted instance: a fresh per-call jax.jit(lambda ...) would
+    # re-trace the whole WideResNet for every video this runs on
+    from .places365 import _places_forward_jit, preprocess_images
 
-    fn = jax.jit(lambda px: places_forward(params, px)[0])
     out: List[float] = []
     for s in range(0, len(images_uint8), batch_size):
         px = preprocess_images(images_uint8[s:s + batch_size])
-        probs = np.asarray(jax.nn.softmax(fn(jnp.asarray(px)), axis=-1))
+        logits = _places_forward_jit(params, jnp.asarray(px))[0]
+        probs = np.asarray(jax.nn.softmax(logits, axis=-1))
         out += [indoor_probability(p, is_indoor_class) for p in probs]
     return out
 
@@ -197,12 +204,20 @@ def run_maskrcnn_filter(frames_dir, out_dir, alexnet_params,
                 or (out_dir / vid / f"{vid}.npy").exists():
             continue  # reference resume (:173)
         frames = sorted(vid_dir.glob("*.jpg"))
-        images = [image_loader(p) for p in frames]
-        indoor = alexnet_indoor_probs(
-            alexnet_params, np.stack(images) if images else
-            np.zeros((0, 224, 224, 3), np.uint8),
-            np.asarray(is_indoor_class), batch_size=batch_size)
-        person = [detector.classify_person(img) for img in images]
+        # decode in batch_size chunks: an hour of 1-fps 720p frames is
+        # ~10 GB of uint8 — materializing the whole video at once (as the
+        # first version did) OOMs the driver, and the reference opens one
+        # frame at a time (filter_outdoor_maskrcnn_coco.py:140-149)
+        indoor: List[float] = []
+        person: List[bool] = []
+        for s in range(0, len(frames), batch_size):
+            chunk = [image_loader(p) for p in frames[s:s + batch_size]]
+            stack = (np.stack(chunk) if chunk
+                     else np.zeros((0, 224, 224, 3), np.uint8))
+            indoor += list(alexnet_indoor_probs(
+                alexnet_params, stack, np.asarray(is_indoor_class),
+                batch_size=batch_size))
+            person += [detector.classify_person(img) for img in chunk]
         data = filter_frames(indoor, person, [p.name for p in frames])
         d = out_dir / vid
         d.mkdir(parents=True, exist_ok=True)

@@ -58,11 +58,14 @@ def inverse_forward(params, feat_k, feat_k1, *, train=False, rng=None):
     x = jnp.concatenate([feat_k, feat_k1], axis=-1)
     x = jax.nn.relu(_conv(x, params["conv1"]))          # [B,7,7,256]
     x = jax.nn.relu(_conv(x, params["conv2"]))          # [B,5,5,256]
-    if train and rng is not None:
-        x = jnp.where(jax.random.bernoulli(rng, 0.5, x.shape), x / 0.5, 0.0)
     x = jax.nn.relu(_conv(x, params["conv3"]))          # [B,3,3,64]
     x = x.reshape(x.shape[0], -1)
     x = jax.nn.relu(x @ params["fc1"]["w"] + params["fc1"]["b"])
+    # Dropout(0.5) sits AFTER fc1's ReLU on the 128-d vector, exactly as
+    # in the reference (inverse_model.py:70-82) — an earlier version
+    # regularized the conv2 map instead, which trains a different head
+    if train and rng is not None:
+        x = jnp.where(jax.random.bernoulli(rng, 0.5, x.shape), x / 0.5, 0.0)
     return x @ params["fc2"]["w"] + params["fc2"]["b"]
 
 
@@ -103,14 +106,21 @@ def encode_frames(backbone_params, images_uint8: np.ndarray,
                   batch_size: int = 64) -> np.ndarray:
     """Frozen ResNet-18 pair-encoder features from raw frames
     (reference inverse_model.py:36-44 + util/torch.py imageNetTransformPIL):
-    [N, H, W, 3] uint8 -> [N, 7, 7, 512] float32 at 224 input."""
-    from .places365 import preprocess_images, resnet18_backbone_forward
+    [N, H, W, 3] uint8 -> [N, 7, 7, 512] float32 at 224 input.
 
-    fn = jax.jit(lambda px: resnet18_backbone_forward(backbone_params, px))
+    imageNetTransformPIL is Resize(224) on the SHORTER side + CenterCrop
+    (224) — NOT a full-frame squash (that is the Places365 filter's own
+    Resize((224,224)) transform; an earlier version reused it here and
+    fed the backbone aspect-distorted frames)."""
+    from .places365 import preprocess_images_crop
+
     chunks = []
     for s in range(0, len(images_uint8), batch_size):
-        px = preprocess_images(images_uint8[s:s + batch_size])
-        chunks.append(np.asarray(fn(jnp.asarray(px)), np.float32))
+        px = preprocess_images_crop(images_uint8[s:s + batch_size],
+                                    resize=224, crop=224)
+        chunks.append(np.asarray(
+            _resnet18_backbone_jit(backbone_params, jnp.asarray(px)),
+            np.float32))
     return np.concatenate(chunks, axis=0)
 
 
@@ -144,6 +154,14 @@ def train_inverse_model_from_images(images_uint8: np.ndarray,
 
 
 _inverse_forward_jit = jax.jit(lambda p, a, b: inverse_forward(p, a, b))
+# shared jitted backbone — encode_frames runs once per video in the
+# profile driver; a per-call jax.jit would re-trace ResNet-18 every time
+def _backbone(params, px):
+    from .places365 import resnet18_backbone_forward
+    return resnet18_backbone_forward(params, px)
+
+
+_resnet18_backbone_jit = jax.jit(_backbone)
 
 
 def predict_actions(params, feats: Sequence[np.ndarray]) -> List[str]:
@@ -162,18 +180,27 @@ def write_action_profiles(out_dir, video_id: str,
                           trajectories: Dict[str, List[int]],
                           actions_by_frame: Dict[int, str],
                           captions: Dict[str, List[str]]) -> Path:
-    """Per-video inverses_actions.json (reference genearate_Profiles.py):
-    one {frame_id: [action]} dict per trajectory, actions for all but the
-    last frame."""
-    profiles = []
+    """Per-video profile artifacts (reference genearate_Profiles.py:40-62):
+    ``inverses_actions.json`` — one {frame_id: [action]} dict per
+    trajectory, actions for all but the last frame — and
+    ``captions_pro.json`` — one {frame_id: caption} dict per trajectory,
+    INCLUDING the last frame (the reference writes both side by side;
+    this used to accept ``captions`` and silently discard it).  Returns
+    the inverses_actions.json path."""
+    profiles, cap_profiles = [], []
     for _, frames in trajectories.items():
-        per = {}
-        for i, fid in enumerate(frames[:-1]):
+        per, cap_per = {}, {}
+        for fid in frames[:-1]:
             per[str(fid)] = [actions_by_frame[fid]]
+        for fid in frames:
+            cap_per[str(fid)] = captions["%04d.jpg" % fid][0]
         profiles.append(per)
+        cap_profiles.append(cap_per)
     d = Path(out_dir) / video_id
     d.mkdir(parents=True, exist_ok=True)
     path = d / "inverses_actions.json"
     with open(path, "w") as f:
         json.dump(profiles, f)
+    with open(d / "captions_pro.json", "w") as f:
+        json.dump(cap_profiles, f)
     return path
