@@ -383,3 +383,44 @@ def test_opt_state_blob_rejects_malicious_pickle(tmp_path, cfg, params):
         np.asarray, init_lily_params(jax.random.PRNGKey(1), cfg))
     with pytest.raises(pickle.UnpicklingError, match="disallowed global"):
         ckpt.load_checkpoint(str(path), cfg, fresh)
+
+
+def test_tied_decoder_export_shares_storage(tmp_path, cfg):
+    """The tied MLM decoder must be exported as the SAME array object as
+    the word embedding (r5 review finding): with device-resident params,
+    np.asarray materializes a fresh numpy array per call, defeating the
+    pickler's id()-based dedup and writing the 30522x768 embedding twice
+    (~94 MB/checkpoint at flagship).  torch.load must see one shared
+    storage, like torch.save produces for tied weights."""
+    torch = pytest.importorskip("torch")
+    # device-resident leaves — the case where the old code forked storage
+    dev_params = jax.tree_util.tree_map(
+        jax.numpy.asarray, init_lily_params(jax.random.PRNGKey(5), cfg))
+    sd = params_to_state_dict(dev_params, cfg)
+    assert sd["cls.predictions.decoder.weight"] is \
+        sd["bert.embeddings.word_embeddings.weight"]
+
+    path = ckpt.save_checkpoint(tmp_path, "tied", dev_params, cfg, epoch=0)
+    loaded = torch.load(path, weights_only=True)["model_state_dict"]
+    assert (loaded["cls.predictions.decoder.weight"].data_ptr()
+            == loaded["bert.embeddings.word_embeddings.weight"].data_ptr())
+
+
+def test_partial_entry_loads_present_tensor(cfg, params):
+    """A checkpoint holding a mapped linear's weight but not its bias must
+    still restore the weight, report only the bias missing, and not list
+    the weight as unexpected (the reference's non-strict per-tensor load,
+    vilbert.py:1161-1172; r5 review finding — the whole entry was skipped
+    and the weight flagged 'unexpected')."""
+    from youtube_vln_tpu.models.torch_io import state_dict_to_params
+
+    full = params_to_state_dict(params, cfg)
+    key = "bert.encoder.layer.0.attention.self.query.weight"
+    partial = {key: full[key] + 1.0}   # distinct from init
+    fresh = jax.tree_util.tree_map(
+        np.asarray, init_lily_params(jax.random.PRNGKey(9), cfg))
+    out, missing, unexpected = state_dict_to_params(partial, cfg, fresh)
+    np.testing.assert_array_equal(
+        out["text_layers"][0]["attn"]["query"]["w"], partial[key].T)
+    assert key.replace("weight", "bias") in missing
+    assert key not in unexpected

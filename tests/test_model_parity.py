@@ -238,3 +238,132 @@ def test_fixed_layer_domain_matches_reference():
         tiny_config(fixed_v_layer=1)               # > v_biattention_id[0]=0
     with pytest.raises(AssertionError):
         tiny_config(fixed_t_layer=3)               # > t_biattention_id[0]=2
+
+
+# --------------------------------------------------------------------------- #
+# legacy task heads (vilbert.py:1373-1535) — untested before r5, and the
+# r5 review found three real deviations (GELU+LayerNorm instead of the
+# weight-normed ReLU classifier, and two missing hard-coded dropouts)
+# --------------------------------------------------------------------------- #
+def test_legacy_multimodal_pretraining_parity(ref, rng):
+    """BertForMultiModalPreTraining forward (no labels): the three
+    prediction tensors must match the reference in eval mode on an
+    imported state dict."""
+    import torch
+
+    import jax
+    from youtube_vln_tpu.models import legacy as LG
+
+    torch.manual_seed(3)
+    ref_model = ref.BertForMultiModalPreTraining(_tiny_ref_config(ref)).eval()
+
+    cfg = tiny_config()
+    params = init_lily_params(jax.random.PRNGKey(0), cfg)
+    params = jax.tree_util.tree_map(np.asarray, params)
+    params, _, unexpected = state_dict_to_params(
+        ref_model.state_dict(), cfg, params)
+    assert not [k for k in unexpected if "q_dense" not in k], unexpected
+
+    tokens, t_mask, feats, locs, v_mask = _random_batch(rng)
+    with torch.no_grad():
+        rt, rv, rrel, _ = ref_model(
+            torch.from_numpy(tokens), torch.from_numpy(feats),
+            torch.from_numpy(locs),
+            attention_mask=torch.from_numpy(t_mask),
+            image_attention_mask=torch.from_numpy(v_mask))
+
+    lm, vision, seq_rel = LG.multimodal_pretraining_forward(
+        params, cfg, tokens, feats, locs, attention_mask=t_mask,
+        image_attention_mask=v_mask, train=False)
+    np.testing.assert_allclose(np.asarray(lm), rt.numpy(),
+                               atol=1e-4, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(vision), rv.numpy(),
+                               atol=1e-4, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(seq_rel), rrel.numpy(),
+                               atol=1e-4, rtol=1e-4)
+
+
+def test_legacy_vl_tasks_classifier_parity(ref, rng):
+    """VILBertForVLTasks.vil_prediction: fused pool -> (inert eval
+    dropout) -> weight_norm(Linear)->ReLU->Dropout->weight_norm(Linear).
+    Imports the reference's weight_g/weight_v (dim=None: scalar g over
+    the whole matrix) and checks the classifier output."""
+    import torch
+
+    import jax
+    from youtube_vln_tpu.models import legacy as LG
+
+    torch.manual_seed(4)
+    n_labels = 5
+    ref_model = ref.VILBertForVLTasks(
+        _tiny_ref_config(ref), num_labels=n_labels).eval()
+
+    cfg = tiny_config()
+    params = init_lily_params(jax.random.PRNGKey(0), cfg)
+    params = jax.tree_util.tree_map(np.asarray, params)
+    params, _, _ = state_dict_to_params(ref_model.state_dict(), cfg, params)
+
+    sd = ref_model.state_dict()
+
+    def wn(prefix):
+        return {"v": sd[f"{prefix}.weight_v"].numpy().T,
+                "g": np.float32(sd[f"{prefix}.weight_g"].numpy()),
+                "b": sd[f"{prefix}.bias"].numpy()}
+
+    cls_params = {"dense1": wn("vil_prediction.main.0"),
+                  "dense2": wn("vil_prediction.main.3")}
+
+    tokens, t_mask, feats, locs, v_mask = _random_batch(rng)
+    with torch.no_grad():
+        outs = ref_model(
+            torch.from_numpy(tokens), torch.from_numpy(feats),
+            torch.from_numpy(locs),
+            attention_mask=torch.from_numpy(t_mask),
+            image_attention_mask=torch.from_numpy(v_mask))
+    vil_prediction = outs[0]
+
+    got = LG.vl_tasks_forward(params, cfg, cls_params, tokens, feats, locs,
+                              attention_mask=t_mask,
+                              image_attention_mask=v_mask, train=False)
+    assert got.shape == (len(tokens), n_labels)
+    np.testing.assert_allclose(np.asarray(got), vil_prediction.numpy(),
+                               atol=1e-4, rtol=1e-4)
+
+
+def test_legacy_head_dropouts_active_in_train_mode(rng):
+    """The reference hard-codes Dropout(0.1) on the fused pool
+    (BertPreTrainingHeads, vilbert.py:937) and Dropout(0.5) inside
+    SimpleClassifier (:1466) — both were missing before r5.  With
+    model-body dropout zeroed, train=True must still differ from eval
+    through exactly those head dropouts."""
+    import dataclasses
+
+    import jax
+    from youtube_vln_tpu.models import legacy as LG
+
+    cfg = dataclasses.replace(
+        tiny_config(), hidden_dropout_prob=0.0,
+        attention_probs_dropout_prob=0.0, v_hidden_dropout_prob=0.0,
+        v_attention_probs_dropout_prob=0.0)
+    params = init_lily_params(jax.random.PRNGKey(0), cfg)
+    tokens, t_mask, feats, locs, v_mask = _random_batch(rng)
+
+    _, _, rel_eval = LG.multimodal_pretraining_forward(
+        params, cfg, tokens, feats, locs, attention_mask=t_mask,
+        image_attention_mask=v_mask, train=False)
+    _, _, rel_train = LG.multimodal_pretraining_forward(
+        params, cfg, tokens, feats, locs, attention_mask=t_mask,
+        image_attention_mask=v_mask, rng=jax.random.PRNGKey(7), train=True)
+    assert not np.allclose(np.asarray(rel_eval), np.asarray(rel_train))
+
+    cls = LG.init_simple_classifier(jax.random.PRNGKey(1),
+                                    cfg.bi_hidden_size,
+                                    cfg.bi_hidden_size * 2, 3)
+    v_eval = LG.vl_tasks_forward(params, cfg, cls, tokens, feats, locs,
+                                 attention_mask=t_mask,
+                                 image_attention_mask=v_mask, train=False)
+    v_train = LG.vl_tasks_forward(params, cfg, cls, tokens, feats, locs,
+                                  attention_mask=t_mask,
+                                  image_attention_mask=v_mask,
+                                  rng=jax.random.PRNGKey(8), train=True)
+    assert not np.allclose(np.asarray(v_eval), np.asarray(v_train))

@@ -135,20 +135,27 @@ def state_dict_to_params(state_dict: Dict[str, Any], cfg: LilyConfig,
             names = [f"{tk}.weight"]
         else:
             names = [f"{tk}.weight", f"{tk}.bias"]
-        if any(n not in sd for n in names):
-            missing.extend(n for n in names if n not in sd)
-            continue
+        # load per-tensor, like the reference's non-strict recursive
+        # _load_from_state_dict: a checkpoint holding only the weight of
+        # a mapped linear (hand-exported / pruned) still restores it, with
+        # the bias left at init and reported missing — skipping the whole
+        # entry would both train from a random weight AND mislabel the
+        # loadable tensor as "unexpected"
+        missing.extend(n for n in names if n not in sd)
+        w_name = names[0]
         if kind == "emb":
-            _set(params, path, np.asarray(sd[names[0]], np.float32))
-        elif kind == "ln":
-            node = _get(params, path)
-            node["w"] = np.asarray(sd[names[0]], np.float32)
+            if w_name in sd:
+                _set(params, path, np.asarray(sd[w_name], np.float32))
+                consumed.add(w_name)
+            continue
+        node = _get(params, path)
+        if w_name in sd:
+            w = np.asarray(sd[w_name], np.float32)
+            node["w"] = w if kind == "ln" else w.T.copy()
+            consumed.add(w_name)
+        if names[1] in sd:
             node["b"] = np.asarray(sd[names[1]], np.float32)
-        else:  # linear
-            node = _get(params, path)
-            node["w"] = np.asarray(sd[names[0]], np.float32).T.copy()
-            node["b"] = np.asarray(sd[names[1]], np.float32)
-        consumed.update(names)
+            consumed.add(names[1])
 
     if "cls.predictions.bias" in sd:
         params["cls"]["decoder_bias"] = np.asarray(sd["cls.predictions.bias"],
@@ -177,8 +184,13 @@ def params_to_state_dict(params: Dict[str, Any], cfg: LilyConfig) -> Dict[str, n
                 np.asarray(node["w"], np.float32).T)
             sd[f"{tk}.bias"] = np.asarray(node["b"], np.float32)
 
-    word = np.asarray(params["text_embed"]["word"], np.float32)
-    sd["cls.predictions.decoder.weight"] = word  # tied
+    # tied decoder: alias the SAME numpy object the loop just exported —
+    # np.asarray on a jax leaf materializes a fresh array per call, and the
+    # pickler's id()-based storage dedup would then write the 30522x768
+    # embedding twice (~94 MB extra per checkpoint) instead of sharing one
+    # storage like torch.save does for tied weights
+    sd["cls.predictions.decoder.weight"] = (
+        sd["bert.embeddings.word_embeddings.weight"])
     sd["cls.predictions.bias"] = np.asarray(params["cls"]["decoder_bias"],
                                             np.float32)
     # unused-in-forward reference params, exported for load compatibility

@@ -416,7 +416,8 @@ def lily_forward(params, cfg: LilyConfig, instr_tokens, image_features,
     other position) at a fraction of the decoder FLOPs; outputs become
     [N, M, vocab] / [N, M, v_target] aligned with the given indices.
     """
-    rngs = jax.random.split(rng, 3) if rng is not None else (None,) * 3
+    # two consumers: the model body and the fused-pool dropout below
+    rngs = jax.random.split(rng, 2) if rng is not None else (None,) * 2
     seq_t, seq_v, pooled_t, pooled_v = bert_model(
         params, cfg, instr_tokens, image_features, image_locations,
         token_type_ids, attention_mask, image_attention_mask,
