@@ -161,31 +161,6 @@ void vlnstore_close(void* handle) {
   delete h;
 }
 
-uint64_t vlnstore_num_records(void* handle) {
-  return static_cast<Handle*>(handle)->keys.size();
-}
-
-const char* vlnstore_key_at(void* handle, uint64_t i) {
-  auto* h = static_cast<Handle*>(handle);
-  if (i >= h->keys.size()) return nullptr;
-  return h->keys[i].c_str();
-}
-
-// Returns byte offset of the record body, or -1 if absent.
-int64_t vlnstore_lookup(void* handle, const char* key) {
-  auto* h = static_cast<Handle*>(handle);
-  auto it = h->offsets.find(key);
-  if (it == h->offsets.end()) return -1;
-  return static_cast<int64_t>(it->second);
-}
-
-// Raw pointer into the mmap at the given offset (for zero-copy wrapping).
-void* vlnstore_record_ptr(void* handle, int64_t offset) {
-  auto* h = static_cast<Handle*>(handle);
-  if (offset < 0 || (uint64_t)offset >= h->size) return nullptr;
-  return const_cast<uint8_t*>(h->data + offset);
-}
-
 // ---------------------------------------------------------------------------
 // Path-feature packer: the training hot loop's gather+normalize+pad+concat
 // (youtube_vln_tpu/data/features_reader.py:RegionFeaturesReader.__getitem__

@@ -32,18 +32,30 @@ def main(argv=None):
     args = args_to_run_config(ns)
     args.validate()
 
+    # multi-host rendezvous BEFORE the first backend-touching jax
+    # call: resolves RANK/SLURM/TPU env (reference set_cuda ->
+    # init_distributed, utils/distributed.py:37-90) and refuses to
+    # degrade to N independent trainings on a pod slice.  No-op on
+    # single-process runs and when a test harness already
+    # initialized the backend.
+    from youtube_vln_tpu.parallel.distributed import initialize
+    initialize()
     is_main = jax.process_index() == 0
     set_seed(args.seed, jax.process_index())
 
     save_folder = get_output_dir(ns)
     logger = NoneLogger()
-    model_save_path = None
     writer = None
+    # every process needs the save path: --orbax_checkpoints saves are a
+    # cross-host COLLECTIVE (each host writes its own shards), so non-main
+    # processes must be able to join engine.save.  The path is
+    # process-deterministic: {output_dir}/{save_name}/data does not
+    # include the timestamped run leaf.
+    model_save_path = save_folder.parent / "data"
     if is_main:
         save_folder.mkdir(parents=True, exist_ok=True)
         logger = get_logger(__name__, str(save_folder / "train.log"))
         logger.info(f"Experiment Folder: {save_folder}")
-        model_save_path = save_folder.parent / "data"
         model_save_path.mkdir(parents=True, exist_ok=True)
         try:
             from tensorboardX import SummaryWriter
@@ -72,21 +84,28 @@ def main(argv=None):
         logger.info(f"epoch {epoch}")
         engine.train_epoch(epoch)
 
-        if is_main and (
+        # orbax saves are collective: EVERY process must enter engine.save
+        # (host 0 alone would hang at the orbax barrier); the .bin path
+        # stays main-only.  The save decisions below evaluate identically
+        # on every host (epoch arithmetic; eval metrics are in-graph
+        # global values).
+        saver = is_main or args.orbax_checkpoints
+        if saver and (
                 (args.save_epochs != -1
                  and (epoch + 1) % args.save_epochs == 0)
                 or epoch == args.num_epochs - 1):
             engine.save(str(epoch), epoch)
-            ckpt.delete_checkpoint(model_save_path,
-                                   str(epoch - args.save_epochs))
+            if is_main:
+                ckpt.delete_checkpoint(model_save_path,
+                                       str(epoch - args.save_epochs))
 
         if not args.skip_val and (args.ranking or args.traj_judge):
             stats = engine.evaluate("test", epoch)
-            if is_main:
-                for task in best:
-                    acc = stats.get(f"accuracy/{task}", 0.0)
-                    if acc >= best[task]:
-                        best[task] = acc
+            for task in best:
+                acc = stats.get(f"accuracy/{task}", 0.0)
+                if acc >= best[task]:
+                    best[task] = acc
+                    if saver:
                         engine.save(f"best_{task}", epoch)
 
     if writer is not None:

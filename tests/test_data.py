@@ -923,8 +923,9 @@ def test_native_pack_pano_steps_matches_per_block(tmp_path, max_boxes):
 
 def test_native_pack_pano_steps_rejects_undersized_out(tmp_path):
     """The batched packer writes n_blocks*max_boxes rows through raw
-    pointers — an undersized caller-provided ``out`` must fail the
-    capacity assert (a Python error), never reach C (heap corruption)."""
+    pointers — an undersized caller-provided ``out`` must raise (a real
+    if/raise, alive under ``python -O``), never reach C (heap
+    corruption)."""
     from youtube_vln_tpu.data import fixtures as F
     from youtube_vln_tpu.data.features_reader import PanoFeaturesReader
 
@@ -938,7 +939,7 @@ def test_native_pack_pano_steps_rejects_undersized_out(tmp_path):
     short = (np.zeros((1, 5, 2048), np.float16),   # 1 block < 2 blocks
              np.zeros((2, 5, 12), np.float32),
              np.zeros((2, 5), np.int32))
-    with pytest.raises(AssertionError):
+    with pytest.raises(ValueError, match="undersized"):
         reader.pack_pano_steps(ks, [0.0, 0.1], [0.1, 0.2], [0, 1],
                                max_boxes=5, out=short)
     reader.close()
@@ -1225,8 +1226,14 @@ def test_bnb_out_listing(tmp_path):
 
 
 def test_beam_dataset_aug_positive_field(r2r_env, tmp_path):
-    """Speaker-augmented items with positive=false force target=-1
-    (reference all_dataset.py:702-706)."""
+    """The speaker-augmented ``positive`` field is INERT in the reference
+    beyond its GT-incompatibility assert: its branch (all_dataset.py:
+    702-706) is unconditionally overwritten by the success-count if/else
+    that follows (:709-733), so an aug item with positive=false selects
+    beams and draws from the np RNG exactly like the same item without
+    the field.  Pinned item-for-item against a control dataset (r5 review
+    found our earlier `elif` kept the dead branch alive, changing 30RSA
+    training data and the RNG stream)."""
     import json as _json
     from youtube_vln_tpu.data.tokenizer import load_tokenizer
     data_dir = r2r_env["data_dir"]
@@ -1244,14 +1251,29 @@ def test_beam_dataset_aug_positive_field(r2r_env, tmp_path):
     tok = load_tokenizer(r2r_env["vocab_path"])
     reader = PanoFeaturesReader(r2r_env["store_path"])
     args = _beam_args()
-    ds = BeamDataset(
-        args, str(aug_dir / "aug+R2R_train.json"),
-        str(tmp_path / "beamsearch" / "aug_beams_train.json"),
-        tok, reader, num_beams=args.num_beams_train, num_beams_strict=False,
-        training=True, masked_vision=False, masked_language=False,
-        shuffle_visual_features=False, data_dir=data_dir, seed=0)
-    targets = {int(ds[i]["ranking_target"]) for i in range(len(ds))}
-    assert targets == {-1}
+
+    def mk(task_json, beam_json):
+        return BeamDataset(
+            args, task_json, beam_json, tok, reader,
+            num_beams=args.num_beams_train, num_beams_strict=False,
+            training=True, masked_vision=False, masked_language=False,
+            shuffle_visual_features=False, data_dir=data_dir, seed=0)
+
+    ds_aug = mk(str(aug_dir / "aug+R2R_train.json"),
+                str(tmp_path / "beamsearch" / "aug_beams_train.json"))
+    ds_plain = mk(f"{data_dir}/task/R2R_train.json",
+                  f"{data_dir}/beamsearch/beams_train.json")
+    assert len(ds_aug) == len(ds_plain)
+    saw_target_zero = False
+    for i in range(len(ds_aug)):
+        a, b = ds_aug[i], ds_plain[i]
+        assert set(a) == set(b)
+        for k in a:
+            np.testing.assert_array_equal(a[k], b[k], err_msg=f"item {i} {k}")
+        saw_target_zero |= int(a["ranking_target"]) == 0
+    # the fixture has items with sufficient success counts, so the dead
+    # branch's -1 would have shown here if it were live
+    assert saw_target_zero
     reader.close()
 
 
@@ -1704,3 +1726,51 @@ def test_native_packers_fuzz_matches_python(tmp_path):
             np.testing.assert_array_equal(
                 bf[2][j * max_boxes:(j + 1) * max_boxes], blk[3])
     preader.close()
+
+
+def test_ytb_judge_only_pretrain_item_collates(ytb_env):
+    """Judge-only pretraining (--traj_judge without --ranking) assembles
+    1 + 3n candidates — positive + ALL THREE negative families, each with
+    its own visual features (reference all_dataset.py:189-197; the
+    negative_style block at common.py:509 is OUTSIDE the traj_judge
+    branch).  num_candidates() used to claim 1 + 2n, so collate rejected
+    every judge-only item (r5 review finding).  max_captioned < path
+    length guarantees the captionless frames the judge negatives
+    permute."""
+    from youtube_vln_tpu.data.loader import collate
+    from youtube_vln_tpu.data.tokenizer import load_tokenizer
+    tok = load_tokenizer(ytb_env["vocab_path"])
+    reader = YTbFeaturesReader(ytb_env["store_path"])
+    for dedup in (False, True):
+        args = _ytb_args(ranking=False, traj_judge=True, masked_vision=False,
+                         masked_language=False, max_captioned=2,
+                         dedup_candidates=dedup,
+                         sparse_vision_targets=dedup,
+                         skeleton_path=ytb_env["skeleton_path"])
+        ds = YTbDataset(args=args, caption_path=ytb_env["caption_path"],
+                        tokenizer=tok, features_reader=reader,
+                        masked_vision=False, masked_language=False,
+                        training=True, seed=0)
+        assert ds.num_candidates() == 7
+        assert ds.num_unique_candidates() == (7 if dedup else None)
+        item = ds[0]
+        assert item["instr_tokens"].shape == (7, 32)
+        batch = collate([ds[0], ds[1]], ds.num_candidates(),
+                        ds.num_unique_candidates())
+        assert batch["instr_tokens"].shape == (2, 7, 32)
+        key = "uniq_image_features" if dedup else "image_features"
+        assert batch[key].shape[1] == 7
+    reader.close()
+
+
+def test_judge_negatives_all_captioned_positive_raises():
+    """A fully-captioned positive makes the judge negative loops
+    unsatisfiable — the reference while/continue hangs the dataloader
+    forever (common.py:435-461); we raise loudly instead (documented
+    safe-superset, MIGRATION.md)."""
+    import random as _random
+    positive = [("v", (1,)), ("v", (2,)), ("v", (3,))]
+    with pytest.raises(ValueError, match="CAPTIONLESS"):
+        S.generate_negatives(positive, [True, True, True], ["v"],
+                             {"v": []}, {}, 2, S.shuffle_different,
+                             "ytb", True, "normal", _random)

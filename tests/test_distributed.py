@@ -362,7 +362,7 @@ def _run_two_procs(script_path, tmp_path, extra_args=()):
          str(tmp_path), *extra_args],
         env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE)
         for pid in range(2)]
-    outs = [p.communicate(timeout=300) for p in procs]
+    outs = [p.communicate(timeout=600) for p in procs]
     for p, (so, se) in zip(procs, outs):
         assert p.returncode == 0, se.decode()[-2000:]
 
@@ -407,7 +407,7 @@ def test_two_process_rendezvous_and_sharding(tmp_path):
          str(tmp_path)],
         env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE)
         for pid in range(2)]
-    outs = [p.communicate(timeout=300) for p in procs]
+    outs = [p.communicate(timeout=600) for p in procs]
     for p, (so, se) in zip(procs, outs):
         assert p.returncode == 0, se.decode()[-2000:]
 
@@ -454,3 +454,70 @@ def test_two_process_rendezvous_and_sharding(tmp_path):
                                   100.0, 101.0, 102.0, 100.0]
         assert r["accum_shape"] == [2, 4, 1]   # microbatch axis replicated
         assert r["bad_mesh_raises"]
+
+
+# Entry-level orbax wiring (r5 review finding): engine.save with
+# --orbax_checkpoints is a cross-host COLLECTIVE, but both entry points
+# used to call it only on is_main, with save_folder=None on non-main —
+# host 0 would hang at the orbax barrier forever.  This worker runs the
+# REAL pretrain.py entry (argv -> initialize() env-resolution -> Engine ->
+# collective save) on both processes against a shared fixture.
+ENTRY_ORBAX_WORKER = textwrap.dedent("""
+    import importlib.util, json, os, sys
+    repo, addr, pid, outdir = sys.argv[1:5]
+    # the entry resolves these itself via parallel.distributed.initialize
+    os.environ["COORDINATOR_ADDRESS"] = addr
+    os.environ["WORLD_SIZE"] = "2"
+    os.environ["RANK"] = pid
+
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+
+    sys.path.insert(0, repo)
+    spec = importlib.util.spec_from_file_location(
+        "pretrain_entry", os.path.join(repo, "pretrain.py"))
+    pretrain = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(pretrain)
+
+    paths = json.load(open(os.path.join(outdir, "fixture.json")))
+    best = pretrain.main([
+        "--max_instruction_length", "32", "--max_path_length", "4",
+        "--max_num_boxes", "5", "--min_path_length", "3",
+        "--min_captioned", "2", "--max_captioned", "4",
+        "--compute_dtype", "float32", "--num_epochs", "1",
+        "--learning_rate", "1e-4", "--batch_size", "4",
+        "--num_workers", "0",
+        "--data_dir", paths["data_dir"],
+        "--bert_tokenizer", paths["vocab_path"],
+        "--config_file", paths["config_file"],
+        "--from_pretrained", "",
+        "--ytb_feature", paths["ytb_store"],
+        "--skeleton_path", paths["skeleton_path"],
+        "--output_dir", os.path.join(outdir, "result"),
+        "--pre_dataset", "ytb", "--prefix", "merge+",
+        "--ranking", "--skip_val",
+        "--orbax_checkpoints", "--save_epochs", "1",
+        "--save_name", "dist_orbax"])
+    assert jax.process_count() == 2, jax.process_count()
+    print("ENTRY_OK", pid)
+""")
+
+
+def test_two_process_entry_orbax_save(tmp_path):
+    """pretrain.py end-to-end on a 2-process mesh with --orbax_checkpoints:
+    the periodic save must complete as a collective (both processes enter
+    engine.save) instead of deadlocking host 0 at the orbax barrier, and
+    the sharded checkpoint must land at the shared data path."""
+    from youtube_vln_tpu.data import fixtures as F
+
+    data_dir = tmp_path / "data"
+    paths = F.build_full_fixture(data_dir)
+    with open(tmp_path / "fixture.json", "w") as fh:
+        json.dump({k: str(v) for k, v in paths.items()}, fh)
+
+    worker = tmp_path / "entry_orbax_worker.py"
+    worker.write_text(ENTRY_ORBAX_WORKER)
+    _run_two_procs(worker, tmp_path)
+
+    saved = tmp_path / "result" / "dist_orbax" / "data" / "0.orbax"
+    assert saved.is_dir(), list((tmp_path / "result").rglob("*"))[:20]

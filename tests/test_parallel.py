@@ -227,3 +227,30 @@ def test_eval_step(setup, rng):
     assert "loss/ranking" in metrics and "correct/ranking" in metrics
     assert np.isfinite(float(metrics["loss/ranking"]))
     assert 0 <= float(metrics["correct/ranking"]) <= 4
+
+
+def test_multihost_markers_single_host_vars_do_not_refuse():
+    """initialize()'s pod-refusal must key on ACTUAL multi-host evidence:
+    this repo's own dev runtime exports TPU_WORKER_HOSTNAMES=localhost /
+    TPU_WORKER_ID=0 on a single-chip box (r5: the first wiring refused to
+    run the e2e suite because of exactly that)."""
+    from youtube_vln_tpu.parallel.distributed import _multihost_markers
+
+    single = {"TPU_WORKER_HOSTNAMES": "localhost", "TPU_WORKER_ID": "0",
+              "CLOUD_TPU_TASK_ID": "0", "WORLD_SIZE": "1"}
+    assert _multihost_markers(single) == []
+    assert _multihost_markers({"TPU_WORKER_HOSTNAMES": "h1,h2"})
+    assert _multihost_markers({"WORLD_SIZE": "4"})
+    assert _multihost_markers({"MEGASCALE_COORDINATOR_ADDRESS": "x:1"})
+
+
+def test_initialize_noop_after_backend_init_single_host():
+    """Calling initialize() after the backend exists (every in-process
+    test harness) must be a silent no-op on a single-host box, and the
+    entries call it unconditionally."""
+    import jax
+
+    from youtube_vln_tpu.parallel import distributed as D
+
+    jax.devices()          # backend up (conftest already forced cpu)
+    D.initialize()         # must not raise

@@ -30,18 +30,28 @@ def main(argv=None):
     args = args_to_run_config(ns)
     args.validate()
 
+    # multi-host rendezvous BEFORE the first backend-touching jax
+    # call: resolves RANK/SLURM/TPU env (reference set_cuda ->
+    # init_distributed, utils/distributed.py:37-90) and refuses to
+    # degrade to N independent trainings on a pod slice.  No-op on
+    # single-process runs and when a test harness already
+    # initialized the backend.
+    from youtube_vln_tpu.parallel.distributed import initialize
+    initialize()
     is_main = jax.process_index() == 0
     set_seed(args.seed, jax.process_index())
 
     save_folder = get_output_dir(ns)
     logger = NoneLogger()
-    model_save_path = None
     writer = None
+    # every process needs the save path: --orbax_checkpoints saves are a
+    # cross-host COLLECTIVE, so non-main processes must be able to join
+    # engine.save (see pretrain.py; path is process-deterministic)
+    model_save_path = save_folder.parent / "data"
     if is_main:
         save_folder.mkdir(parents=True, exist_ok=True)
         logger = get_logger(__name__, str(save_folder / "train.log"))
         logger.info(f"Experiment Folder: {save_folder}")
-        model_save_path = save_folder.parent / "data"
         model_save_path.mkdir(parents=True, exist_ok=True)
         try:
             from tensorboardX import SummaryWriter
@@ -66,25 +76,33 @@ def main(argv=None):
         logger.info(f"epoch {epoch}")
         engine.train_epoch(epoch)
 
-        if is_main and (
+        # orbax saves are collective: EVERY process must enter engine.save
+        # (host 0 alone would hang at the orbax barrier); .bin stays
+        # main-only.  Decisions evaluate identically on every host (epoch
+        # arithmetic; eval metrics are in-graph global values).
+        saver = is_main or args.orbax_checkpoints
+        if saver and (
                 (args.save_epochs != -1
                  and (epoch + 1) % args.save_epochs == 0)
                 or epoch == args.num_epochs - 1):
             engine.save(str(epoch), epoch)
-            ckpt.delete_checkpoint(model_save_path,
-                                   str(epoch - args.save_epochs))
+            if is_main:
+                ckpt.delete_checkpoint(model_save_path,
+                                       str(epoch - args.save_epochs))
 
         if not args.skip_val and args.ranking and not args.no_test:
             seen = engine.evaluate("val_seen", epoch).get(
                 "accuracy/ranking", 0.0)
-            if is_main and seen >= best_seen:
+            if seen >= best_seen:
                 best_seen = seen
-                engine.save("best_seen", epoch)
+                if saver:
+                    engine.save("best_seen", epoch)
             unseen = engine.evaluate("val_unseen", epoch).get(
                 "accuracy/ranking", 0.0)
-            if is_main and unseen >= best_unseen:
+            if unseen >= best_unseen:
                 best_unseen = unseen
-                engine.save("best_unseen", epoch)
+                if saver:
+                    engine.save("best_unseen", epoch)
             logger.info(
                 f"epoch {epoch} sr_val_seen={seen:.3f} "
                 f"(best {best_seen:.3f}) sr_val_unseen={unseen:.3f} "

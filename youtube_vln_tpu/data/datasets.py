@@ -212,8 +212,16 @@ class PretrainDataset:
         return len(self.listing_ids)
 
     def num_candidates(self) -> int:
-        n = self.args.num_negatives
-        return 1 + 3 * n if not self.traj_judge_only else 1 + 2 * n
+        # 1 positive + THREE negative families x n in BOTH modes: the
+        # reference's negative_style block runs outside the traj_judge
+        # branch (common.py:509 is top-level), and the judge-mode item
+        # assembly concatenates all three families
+        # (all_dataset.py:189-197).  An earlier 1+2n here made collate
+        # reject every judge-only pretrain item (r5 review finding).
+        # BnB out-listing items DO carry fewer real candidates (randoms
+        # dropped, all_dataset.py:548-549) — they pad to this width via
+        # opt_mask (pinned by tests/test_data.py:test_bnb_out_listing).
+        return 1 + 3 * self.args.num_negatives
 
     def num_unique_candidates(self):
         """Static unique-trajectory count under --dedup_candidates (the
@@ -225,7 +233,7 @@ class PretrainDataset:
             return None
         n = self.args.num_negatives
         if self.traj_judge_only:
-            return 1 + 2 * n          # every candidate has own visuals
+            return 1 + 3 * n          # every candidate has own visuals
         if self.args.negative_style == "shuffle_instruction":
             return 1 + n              # only the random negatives differ
         return 1 + 2 * n              # image + random negatives differ
@@ -949,9 +957,20 @@ class BeamDataset:
 
     def _select_training_paths(self, vln_item, instruction_index, beam_paths,
                                success, vln_index):
-        """Reference all_dataset.py:702-748."""
+        """Reference all_dataset.py:702-748.
+
+        The speaker-augmented ``positive`` field is INERT in the reference
+        beyond its GT-incompatibility assert: its branch (:702-706) sets
+        target/selected_paths, but the success-count if/else that follows
+        (:709-733) assigns BOTH on every path, unconditionally overwriting
+        them — an aug item with positive=false and sufficient
+        success/failure counts trains as an ordinary target=0 item with
+        np.random-selected beams.  Replicated exactly (an earlier `elif
+        selected_paths is None` kept the dead branch alive, silently
+        changing 30RSA training data AND the per-item np RNG stream);
+        pinned by tests/test_data.py:test_beam_dataset_aug_positive_field.
+        """
         target = 0
-        selected_paths = None
         if "positive" in vln_item and \
                 not vln_item["positive"][instruction_index]:
             target = -1
@@ -965,7 +984,7 @@ class BeamDataset:
                     beam_paths[: self.args.num_beams_train - 1]
             else:
                 selected_paths = beam_paths[: self.args.num_beams_train]
-        elif selected_paths is None:
+        else:
             target = 0
             selected_paths = []
             if self.ground_truth_trajectory:
@@ -1060,19 +1079,23 @@ class BeamDataset:
         image_features = np.stack([f[0] for f in feats],
                                   dtype=self.io_dtype)
         image_locations = np.stack([f[1] for f in feats])
-        image_probs = np.stack([f[2] for f in feats])
+        # probs stacked ONLY on the branches that read them: the stack is
+        # ~155 MB of copy per 30-beam eval instruction at flagship
+        # geometry, and the no-vision-targets branch (ranking-only items
+        # off the f16 fast paths, e.g. --io_dtype float32 eval) discards it
+        probs_list = [f[2] for f in feats]
         image_mask = np.stack([f[3] for f in feats])
 
         image_targets_idx = None
         if self.masked_vision and self.sparse_vision_targets:
             (image_features, image_targets_idx, image_targets,
              image_targets_mask) = randomize_regions_sparse_np(
-                image_features, image_probs, image_mask, self.np_rng,
-                copy=False)
+                image_features, np.stack(probs_list), image_mask,
+                self.np_rng, copy=False)
         elif self.masked_vision:
             image_features, image_targets, image_targets_mask = \
-                randomize_regions_np(image_features, image_probs, image_mask,
-                                     self.np_rng, copy=False)
+                randomize_regions_np(image_features, np.stack(probs_list),
+                                     image_mask, self.np_rng, copy=False)
         elif not self.emit_vision_targets:
             image_targets = image_targets_mask = None
         elif self.sparse_vision_targets:
@@ -1081,12 +1104,12 @@ class BeamDataset:
             image_targets_idx = np.full(image_mask.shape[:-1] + (m_cap,),
                                         s_v, np.int32)
             image_targets = np.zeros(
-                image_targets_idx.shape + (image_probs.shape[-1],),
-                image_probs.dtype)
+                image_targets_idx.shape + (probs_list[0].shape[-1],),
+                probs_list[0].dtype)
             image_targets_mask = np.zeros_like(image_mask)
         else:
             image_targets, image_targets_mask = unmasked_region_targets(
-                image_probs, image_mask)
+                np.stack(probs_list), image_mask)
         # AFTER the vision draws: np_rng order is vision-then-language
         instr_tokens, instr_mask, instr_targets, segment_ids = \
             self._instruction_fields(instr_tokens, nc)

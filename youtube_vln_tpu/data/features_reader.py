@@ -236,6 +236,12 @@ class PanoFeaturesReader(FeaturesReader):
         loc[:, 10] = np.cos(fh - next_heading)
 
         features = rec.features
+        if features.size == 0:
+            # same guard as the region reader above: mean() over a
+            # (0, 2048) array would silently make the global region NaN
+            # (the native packer DECLINES zero-box records, so this
+            # Python fallback is exactly where such a record lands)
+            raise RuntimeError("Features could not be correctly read")
         g_feature = features.mean(axis=0, keepdims=True)
         g_location = np.array([[
             0, 0, 1, 1, 1,

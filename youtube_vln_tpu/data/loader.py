@@ -139,7 +139,14 @@ def shard_indices(n: int, *, shuffle: bool, seed: int, epoch: int,
             order = order[:usable]
         else:  # pad by wrapping, like DistributedSampler
             pad = (-len(order)) % num_shards
-            order = np.concatenate([order, order[:pad]])
+            if pad:
+                # np.tile handles pad > n (dataset smaller than ~half the
+                # shard count, e.g. a --debug subset on a 16-process pod):
+                # order[:pad] alone comes up short there, shards end up
+                # UNEQUAL, and ranks with fewer batches exit the epoch
+                # while the rest block forever in the step collective
+                reps = np.tile(order, pad // max(len(order), 1) + 1)
+                order = np.concatenate([order, reps[:pad]])
         order = order[shard::num_shards]
     return order
 

@@ -315,6 +315,21 @@ def _take_shuffles(shuffler, base: List, count: int, rng) -> List[List]:
     return out
 
 
+def _bounded_miss(misses: int, num_negatives: int) -> int:
+    """Backstop for the judge retry loops: positive-colliding draws are
+    possible but must not be CERTAIN (the captionless guard above rules
+    out the provable case; this catches e.g. replacements that coincide
+    with the originals).  The reference loops unboundedly."""
+    misses += 1
+    if misses > 200 * max(1, num_negatives):
+        raise ValueError(
+            "traj_judge negative sampling cannot escape the positive "
+            f"trajectory after {misses} draws — the permutation/"
+            "replacement space for this item is degenerate (the reference "
+            "dataloader hangs forever here)")
+    return misses
+
+
 def generate_negatives(
     positive_path: Trajectory,
     states: Sequence[bool],
@@ -337,14 +352,30 @@ def generate_negatives(
     cand = 2  # candidate multiplier (reference :428)
 
     if traj_judge:
-        # keep captioned order, permute captionless positions (:431-443)
+        # keep captioned order, permute captionless positions (:431-443).
+        # A fully-captioned positive makes BOTH judge loops below
+        # unsatisfiable: with no captionless slots random_fill is a no-op,
+        # traj == positive on every draw, and the reference's
+        # while/continue spins FOREVER (common.py:435-461 — an r5 review
+        # pass reproduced the hang on a fixture item).  Fail loudly
+        # instead; documented safe-superset in MIGRATION.md.
+        if not captionless_idx:
+            raise ValueError(
+                "traj_judge negatives permute/replace CAPTIONLESS frames, "
+                "but this positive trajectory has none (all "
+                f"{len(captioned_idx)} frames captioned) — no distinct "
+                "negative exists and the reference dataloader hangs "
+                "forever here; lower --max_captioned below "
+                "--max_path_length or disable --traj_judge")
         neg_captions_idx: List[List[int]] = []
         neg_captions: List[Trajectory] = []
+        misses = 0
         while len(neg_captions) < num_negatives:
             traj = [positive_path[i] for i in captioned_idx]
             order = random_fill(captioned_idx, captionless_idx, traj,
                                 list(captionless_ids), rng)
             if traj == positive_path:
+                misses = _bounded_miss(misses, num_negatives)
                 continue
             neg_captions_idx.append(order)
             neg_captions.append(traj)
@@ -361,11 +392,13 @@ def generate_negatives(
                     lid, pid = random_image(room_ids, photos_by_room, rng)
                 replacements.append((lid, pid))
         neg_randoms: List[Trajectory] = []
+        misses = 0
         while len(neg_randoms) < num_negatives:
             traj = [positive_path[i] for i in captioned_idx]
             random_fill(captioned_idx, captionless_idx, traj,
                         list(replacements), rng)
             if traj == positive_path:
+                misses = _bounded_miss(misses, num_negatives)
                 continue
             neg_randoms.append(traj)
     else:

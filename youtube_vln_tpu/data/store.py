@@ -74,8 +74,16 @@ class StoreWriter:
         self._f = open(self._path, "wb")
         self._f.write(_HEADER.pack(MAGIC, VERSION, 0, 0, 0))
         self._index: List[Tuple[str, int]] = []
+        self._seen: set = set()
 
     def add(self, key: str, rec: StoreRecord) -> None:
+        if key in self._seen:
+            # readers dict-dedup the index and then reject the file as
+            # corrupt (index count != n_records) — failing an 80 GB
+            # conversion at OPEN time with a misleading message; refuse
+            # the duplicate at write time instead
+            raise ValueError(f"duplicate store key {key!r}")
+        self._seen.add(key)
         f = self._f
         offset = f.tell()
         k = rec.num_boxes
@@ -146,14 +154,6 @@ def _load_native() -> Optional[ctypes.CDLL]:
     dll.vlnstore_open.restype = ctypes.c_void_p
     dll.vlnstore_open.argtypes = [ctypes.c_char_p]
     dll.vlnstore_close.argtypes = [ctypes.c_void_p]
-    dll.vlnstore_num_records.restype = ctypes.c_uint64
-    dll.vlnstore_num_records.argtypes = [ctypes.c_void_p]
-    dll.vlnstore_key_at.restype = ctypes.c_char_p
-    dll.vlnstore_key_at.argtypes = [ctypes.c_void_p, ctypes.c_uint64]
-    dll.vlnstore_lookup.restype = ctypes.c_int64
-    dll.vlnstore_lookup.argtypes = [ctypes.c_void_p, ctypes.c_char_p]
-    dll.vlnstore_record_ptr.restype = ctypes.c_void_p
-    dll.vlnstore_record_ptr.argtypes = [ctypes.c_void_p, ctypes.c_int64]
     if hasattr(dll, "vlnstore_pack_path"):
         dll.vlnstore_pack_path.restype = ctypes.c_int
         dll.vlnstore_pack_path.argtypes = [
@@ -480,14 +480,26 @@ class Store:
             m = np.empty((n,), np.int32)
         else:
             f, l, m = out
-            assert all(a.flags.c_contiguous for a in (f, l, m))
-            assert f.dtype == np.float16 and l.dtype == np.float32 \
-                and m.dtype == np.int32
-            # the C call writes n_blocks*max_boxes rows of (2048/12/1)
-            # through raw pointers — undersized buffers would corrupt the
-            # heap, not raise (callers pass row-major [blocks, boxes, d]
-            # or [rows, d] views; only total capacity matters)
-            assert f.size >= n * 2048 and l.size >= n * 12 and m.size >= n
+            # real if/raise, NOT assert: the C call writes
+            # n_blocks*max_boxes rows of (2048/12/1) through raw pointers,
+            # so an undersized/non-contiguous/wrong-dtype buffer corrupts
+            # the heap instead of raising — and `python -O` strips asserts,
+            # which is exactly when this guard must still hold (callers
+            # pass row-major [blocks, boxes, d] or [rows, d] views; only
+            # total capacity matters)
+            if not all(a.flags.c_contiguous for a in (f, l, m)):
+                raise ValueError("pack_pano_steps_f16 out buffers must be "
+                                 "C-contiguous")
+            if not (f.dtype == np.float16 and l.dtype == np.float32
+                    and m.dtype == np.int32):
+                raise ValueError(
+                    f"pack_pano_steps_f16 out dtypes must be "
+                    f"(float16, float32, int32), got "
+                    f"({f.dtype}, {l.dtype}, {m.dtype})")
+            if f.size < n * 2048 or l.size < n * 12 or m.size < n:
+                raise ValueError(
+                    f"pack_pano_steps_f16 out buffers undersized for "
+                    f"{n_blocks} blocks x {max_boxes} boxes")
         ret = self._native.vlnstore_pack_pano_steps_f16(
             self._handle, keys_arr, h_arr, nh_arr, s_arr, n_blocks,
             max_boxes,

@@ -41,9 +41,22 @@ def eval_epoch(params, cfg: LilyConfig, loader: Loader,
     rng = np.random.default_rng(seed)
     all_scores: List[Tuple[str, List[float]]] = []
     pending = []
-    for batch in device_prefetch(iter(loader), depth=prefetch):
-        instr_ids = [f"{int(a)}_{int(b)}" for a, b in
-                     np.asarray(batch["instr_id"])]
+
+    # instr_id is loader metadata: capture it HOST-side before the device
+    # transfer.  Reading batch["instr_id"] back after device_put is a
+    # per-batch D2H round trip that forces the whole dispatch backlog
+    # synchronously (on axon only readback forces execution), defeating
+    # the deferred-readback `pending` pipeline below.
+    ids_fifo: List[List[str]] = []
+
+    def strip_ids(it):
+        for b in it:
+            ids_fifo.append([f"{int(a)}_{int(x)}" for a, x in
+                             np.asarray(b["instr_id"])])
+            yield {k: v for k, v in b.items() if k != "instr_id"}
+
+    for batch in device_prefetch(strip_ids(iter(loader)), depth=prefetch):
+        instr_ids = ids_fifo.pop(0)
         if random_testing:
             logits = rng.random(batch["opt_mask"].shape)
             pending.append((instr_ids, logits))

@@ -25,6 +25,26 @@ import numpy as np
 logger = logging.getLogger(__name__)
 
 
+def _multihost_markers(env) -> list:
+    """Environment evidence of an ACTUALLY multi-host job.  Mere presence
+    of TPU worker vars is not enough: single-host boxes (and this repo's
+    own dev runtime) carry ``TPU_WORKER_HOSTNAMES=localhost`` /
+    ``TPU_WORKER_ID=0`` for one host — only >1 hostnames, WORLD_SIZE>1, or
+    a megascale coordinator mean peers exist to rendezvous with."""
+    out = []
+    hosts = env.get("TPU_WORKER_HOSTNAMES", "")
+    if hosts and len([h for h in hosts.split(",") if h.strip()]) > 1:
+        out.append(f"TPU_WORKER_HOSTNAMES={hosts}")
+    try:
+        if int(env.get("WORLD_SIZE", "1")) > 1:
+            out.append(f"WORLD_SIZE={env['WORLD_SIZE']}")
+    except ValueError:
+        pass
+    if "MEGASCALE_COORDINATOR_ADDRESS" in env:
+        out.append("MEGASCALE_COORDINATOR_ADDRESS")
+    return out
+
+
 def initialize(coordinator_address: Optional[str] = None,
                num_processes: Optional[int] = None,
                process_id: Optional[int] = None) -> None:
@@ -45,6 +65,22 @@ def initialize(coordinator_address: Optional[str] = None,
     except Exception:
         pass
     env = os.environ
+    try:
+        from jax._src import xla_bridge
+        backends_up = xla_bridge.backends_are_initialized()
+    except Exception:
+        backends_up = False
+    if backends_up:
+        # rendezvous is impossible once the backend exists; on a real pod
+        # this is a caller-ordering bug, in a test harness it is routine
+        markers = _multihost_markers(env)
+        if markers:
+            raise RuntimeError(
+                "the XLA backend was initialized before initialize() on "
+                f"what looks like a multi-host environment ({markers}); "
+                "call initialize() before any jax API that touches devices")
+        logger.debug("backend already initialized; skipping rendezvous")
+        return
     if coordinator_address is None:
         coordinator_address = env.get("COORDINATOR_ADDRESS")
     if num_processes is None and "WORLD_SIZE" in env:
@@ -60,14 +96,11 @@ def initialize(coordinator_address: Optional[str] = None,
             jax.distributed.initialize()
         except Exception as e:
             # Only a plain single-process run may degrade silently.  On a
-            # pod slice (worker env vars present) a failed rendezvous must
-            # NOT fall through: every host would see only local devices,
-            # all report process_index 0, train the full dataset
-            # independently and race on the same checkpoint path.
-            pod_markers = [k for k in ("TPU_WORKER_HOSTNAMES",
-                                       "TPU_WORKER_ID", "CLOUD_TPU_TASK_ID",
-                                       "MEGASCALE_COORDINATOR_ADDRESS")
-                           if k in env]
+            # pod slice a failed rendezvous must NOT fall through: every
+            # host would see only local devices, all report
+            # process_index 0, train the full dataset independently and
+            # race on the same checkpoint path.
+            pod_markers = _multihost_markers(env)
             if pod_markers:
                 raise RuntimeError(
                     "jax.distributed.initialize() failed on what looks "

@@ -207,8 +207,7 @@ class Engine:
         # (_multihost_put)
         self.step_batch = max(1, args.batch_size // accum
                               // jax.process_count())
-        self.train_loader = Loader(self.train_ds, self.step_batch * accum
-                                   if accum > 1 else self.step_batch,
+        self.train_loader = Loader(self.train_ds, self.step_batch * accum,
                                    shuffle=True, seed=args.seed,
                                    num_shards=jax.process_count(),
                                    shard=jax.process_index(),
@@ -265,8 +264,16 @@ class Engine:
         self.state, self.tx, self.schedule = ts.create_train_state(
             params, args, steps_per_epoch=len(self.train_loader))
         if opt_override is not None:
+            # place the restored optimizer tree with the SAME shardings the
+            # fresh tx.init state carries (mu/nu mirror the param layout) —
+            # a bare device_put would commit 2x ~250M restored moments to a
+            # single device and the jitted step would then hold them
+            # REPLICATED per chip instead of model-sharded
+            opt_override = jax.tree_util.tree_map(
+                lambda x, ref: jax.device_put(x, ref.sharding),
+                opt_override, self.state.opt_state)
             self.state = ts.TrainState(self.state.params,
-                                       jax.device_put(opt_override),
+                                       opt_override,
                                        jax.numpy.asarray(step_override))
         if pending_orbax is not None:
             # restore only what is needed AND present: a non-resume load

@@ -121,7 +121,17 @@ def ranking_loss_eval(logits, opt_mask, target):
 
 def traj_judge_targets(num_cand: int, *, ranking_or_no_judge_data: bool,
                        pretrain: bool, num_negatives: int) -> jnp.ndarray:
-    """Position-dependent target layout (reference utils_init.py:149-158)."""
+    """Position-dependent target layout (reference utils_init.py:149-158).
+
+    Known deviation (intentional, degenerate-config-only): at
+    ``num_negatives=0`` in the fine-tune ranking branch the reference
+    writes ``target[:, :-0] = 1`` — a ``[:0]`` no-op slice, so EVERY
+    candidate stays labeled negative and ``pos_weight = nc/pos - 1``
+    divides by zero (inf -> NaN loss on the first step).  With zero
+    shuffled negatives every candidate is an unshuffled real path, so the
+    semantically-correct target is all-positive: ``idx < nc - 0`` here.
+    Safe superset: the reference config cannot train at all on this flag
+    combination (also listed in MIGRATION.md)."""
     idx = jnp.arange(num_cand)
     if not ranking_or_no_judge_data:
         return (idx == 0)

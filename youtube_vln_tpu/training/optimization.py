@@ -119,9 +119,7 @@ def make_schedule(args, steps_per_epoch: int) -> Callable:
     (dataset_init.py:205) — dividing here again would shrink t_total by
     accum x and silently park the LR at 0 for most of an accumulated run.
     """
-    if (args.pretrain and args.no_scheduler) or args.ConstantLR:
-        return constant_schedule(args.learning_rate)
-    if args.no_scheduler:
+    if args.no_scheduler or args.ConstantLR:
         return constant_schedule(args.learning_rate)
     t_total = steps_per_epoch * args.num_epochs
     warmup_steps = args.warmup_proportion * t_total

@@ -103,11 +103,17 @@ def save_code_snapshot(save_folder: Path,
     root = Path.cwd()
     try:
         with zipfile.ZipFile(zip_path, "w", zipfile.ZIP_DEFLATED) as zf:
-            for path in root.rglob("*.py"):
-                rel = path.relative_to(root)
-                if any(part in ignore for part in rel.parts):
-                    continue
-                zf.write(path, rel)
+            # os.walk with in-place dirnames pruning: rglob would traverse
+            # (and stat) the entire ignored trees first — on a real data
+            # host that is the Matterport lmdb + 11 feature-store shards
+            # under data/, minutes of startup latency per launch
+            import os
+            for dirpath, dirnames, filenames in os.walk(root):
+                dirnames[:] = [d for d in dirnames if d not in ignore]
+                for name in filenames:
+                    if name.endswith(".py"):
+                        path = Path(dirpath) / name
+                        zf.write(path, path.relative_to(root))
         with open(out_dir / "rerun.sh", "w") as f:
             f.write(f"cd {quote(str(root))}\n")
             f.write(sys.executable + " "
