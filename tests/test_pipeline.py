@@ -254,6 +254,21 @@ def test_zero_shot_captions():
     assert caps[1].startswith("office with")
     payload = C.caption_video_frames([3, 9], frames, area_emb, obj_emb)
     assert set(payload) == {"0003.jpg", "0009.jpg"}
+    # reference payload layout (generate_CLIP_captions.py:98-101):
+    # [caption, {"ShannonEntropy": H}, {"similarity": top1_area_prob}]
+    entry = payload["0003.jpg"]
+    assert entry[0] == "kitchen with sink"
+    f32 = frames[0].astype(np.float32)
+    a32 = area_emb.astype(np.float32)
+    f = f32 / np.linalg.norm(f32)
+    a = a32 / np.linalg.norm(a32, axis=-1, keepdims=True)
+    logits = 100.0 * (a @ f)
+    p = np.exp(logits - logits.max())
+    p /= p.sum()
+    np.testing.assert_allclose(entry[2]["similarity"], p.max(), rtol=1e-5)
+    q = p + 1e-7  # the reference shifts BOTH factors of p*log2(p)
+    np.testing.assert_allclose(entry[1]["ShannonEntropy"],
+                               -(q * np.log2(q)).sum(), rtol=1e-5)
 
 
 # --------------------------------------------------------------------------- #
@@ -786,6 +801,26 @@ def test_assemble_records_filters():
     assert ids == [0, 2]                  # 1 dropped (person), 3 (outdoor)
     assert recs[0]["caption"] == "kitchen with sink"
     assert recs[0]["action"] == "left"
+
+
+def test_assemble_records_trim_and_feature_errors():
+    """Reference build_dataset.py:124-153: error-feature frames are
+    dropped, and the manual filter_frame front/back trim drops
+    frame_id <= front and >= back with negative values wrapping by
+    n_frames+1 (0 disables that side)."""
+    caps = {"v0": {"%04d.jpg" % i: ["kitchen with sink"]
+                   for i in range(1, 7)}}
+    recs = B.assemble_records(["v0"], caps, {},
+                              feature_errors_by_video={"v0": [3]},
+                              trim_by_video={"v0": {"front": 1,
+                                                    "back": -1}})
+    # n=6 frames: back=-1 -> 6 (drop >=6), front=1 (drop <=1), 3 is an
+    # error feature -> surviving ids 2, 4, 5
+    assert [r["frame_id"] for r in recs] == [2, 4, 5]
+    # 0 disables a side
+    recs = B.assemble_records(["v0"], caps, {},
+                              trim_by_video={"v0": {"front": 0, "back": 0}})
+    assert [r["frame_id"] for r in recs] == [1, 2, 3, 4, 5, 6]
 
 
 def test_assemble_records_trajectory_semantics():

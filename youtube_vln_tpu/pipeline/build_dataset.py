@@ -24,10 +24,15 @@ def assemble_records(video_ids: Sequence[str],
                      maskrcnn_by_video: Optional[Dict[str, Dict]] = None,
                      trajectory_by_video: Optional[Dict[str, List[int]]]
                      = None,
+                     feature_errors_by_video:
+                     Optional[Dict[str, Sequence[int]]] = None,
+                     trim_by_video: Optional[Dict[str, Dict[str, int]]]
+                     = None,
                      ) -> List[Dict]:
     """One record per surviving frame (reference build_dataset.py:178-195).
 
-    captions_by_video:   vid -> {"%04d.jpg": [caption]} (captions_SE.json)
+    captions_by_video:   vid -> {"%04d.jpg": [caption, ...]}
+                         (captions_SE.json; only element [0] is read)
     actions_by_video:    vid -> {frame_id: action word} (inverse model
                          output — trajectory frames EXCEPT the last)
     trajectory_by_video: vid -> ordered keyframe ids (trajectory.json).
@@ -46,6 +51,14 @@ def assemble_records(video_ids: Sequence[str],
                          final captioned keyframe unavailable (legacy
                          fixture behavior, kept for inputs that never had
                          a trajectory file).
+    feature_errors_by_video: vid -> frame ids listed in the extractor's
+                         error TSV (reference build_dataset.py:124-130,
+                         ``--feature total-error.tsv``); dropped.
+    trim_by_video:       vid -> {"front": f, "back": b} manual trimming
+                         (reference's filter_frame hook,
+                         build_dataset.py:136-153): drop frames <= front
+                         and >= back; negative values wrap by
+                         n_frames+1; 0 disables that side.
     """
     records = []
     for vid in video_ids:
@@ -54,9 +67,22 @@ def assemble_records(video_ids: Sequence[str],
         traj = (trajectory_by_video or {}).get(vid)
         keyframes = set(traj) if traj is not None else set(actions)
         last = traj[-1] if traj else None
+        feat_errors = set((feature_errors_by_video or {}).get(vid, ()))
+        trim = (trim_by_video or {}).get(vid, {})
+        front, back = trim.get("front", 0), trim.get("back", 0)
+        if front < 0:
+            front += len(caps) + 1
+        if back < 0:
+            back += len(caps) + 1
         for name, cap_list in sorted(caps.items()):
             fid = int(name.split(".")[0])
             caption = cap_list[0]
+            if front != 0 and fid <= front:
+                continue
+            if back != 0 and fid >= back:
+                continue
+            if fid in feat_errors:
+                continue
             if not F.frame_passes(
                     fid,
                     indoor_resnet=(indoor_by_video or {}).get(vid),

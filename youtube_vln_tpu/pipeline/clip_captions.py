@@ -37,6 +37,18 @@ def _normalize(x: np.ndarray) -> np.ndarray:
     return x / np.maximum(np.linalg.norm(x, axis=-1, keepdims=True), 1e-8)
 
 
+def _softmax(x: np.ndarray) -> np.ndarray:
+    e = np.exp(x - x.max(axis=-1, keepdims=True))
+    return e / e.sum(axis=-1, keepdims=True)
+
+
+def _shannon_entropy(p: np.ndarray) -> np.ndarray:
+    """Reference ShannonEntropy (generate_CLIP_captions.py:64-70): the 1e-7
+    shift is applied to BOTH factors of p*log2(p)."""
+    q = p + 1e-7
+    return -(q * np.log2(q)).sum(axis=-1)
+
+
 def zero_shot_captions(frame_embeddings: np.ndarray,
                        area_text_embeddings: np.ndarray,
                        object_text_embeddings: np.ndarray,
@@ -56,11 +68,23 @@ def caption_video_frames(frame_ids: Sequence[int],
                          frame_embeddings: np.ndarray,
                          area_text_embeddings: np.ndarray,
                          object_text_embeddings: np.ndarray
-                         ) -> Dict[str, List[str]]:
-    """captions_SE.json payload: "%04d.jpg" -> [caption]."""
+                         ) -> Dict[str, List]:
+    """captions_SE.json payload, reference layout
+    (generate_CLIP_captions.py:98-101): "%04d.jpg" ->
+    [caption, {"ShannonEntropy": H(softmax(100*area_sim))},
+    {"similarity": top-1 area softmax prob}].  Every downstream consumer
+    reads only element [0] (merge_photos.py:90, build_dataset.py:120,174,
+    genearate_Profiles.py:46), but the file format carries all three."""
+    f = _normalize(frame_embeddings.astype(np.float32))
+    a = _normalize(area_text_embeddings.astype(np.float32))
+    area_probs = _softmax(100.0 * (f @ a.T))
+    ents = _shannon_entropy(area_probs)
     caps = zero_shot_captions(frame_embeddings, area_text_embeddings,
                               object_text_embeddings)
-    return {"%04d.jpg" % fid: [c] for fid, c in zip(frame_ids, caps)}
+    return {"%04d.jpg" % fid:
+            [c, {"ShannonEntropy": float(h)}, {"similarity": float(s)}]
+            for fid, c, h, s in zip(frame_ids, caps, ents,
+                                    area_probs.max(axis=-1))}
 
 
 def write_captions(out_dir, video_id: str, payload: Dict) -> Path:
